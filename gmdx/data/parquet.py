@@ -1,0 +1,144 @@
+"""Parquet dataset + threaded prefetching dataloader.
+
+Schema parity with the reference's Stage-2 metadata (train_gm_unet.py:
+917-982): columns ``sdr`` (image path on disk), ``gainmap`` (encoded image
+bytes), ``text`` (caption). NOTE the reference README documents a column
+named ``image`` but the code reads ``sdr`` — the code wins (SURVEY.md §7.3).
+
+The loader is host-side numpy end to end: decode + paired transform + CLIP
+tokenization per worker thread, stacked into device-ready batches sized for
+the global (mesh-wide) batch so a sharded device_put needs no reshaping.
+"""
+
+from __future__ import annotations
+
+import io
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+import pyarrow.parquet as pq
+from PIL import Image
+
+from gmdx.data.transforms import preprocess_pair
+
+
+class ParquetImageDataset:
+    """Random-access view over one or more parquet files."""
+
+    def __init__(self, data_files: str | Sequence[str]):
+        if isinstance(data_files, str):
+            data_files = [data_files]
+        tables = [pq.read_table(f) for f in data_files]
+        import pyarrow as pa
+
+        self.table = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        cols = set(self.table.column_names)
+        missing = {"sdr", "gainmap", "text"} - cols
+        if missing:
+            raise ValueError(
+                f"parquet missing columns {sorted(missing)}; has {sorted(cols)}"
+            )
+
+    def __len__(self) -> int:
+        return self.table.num_rows
+
+    def __getitem__(self, idx: int) -> Dict:
+        row = self.table.slice(idx, 1).to_pylist()[0]
+        return row
+
+    def load_pair(self, idx: int):
+        row = self[idx]
+        sdr = Image.open(row["sdr"])
+        gm = Image.open(io.BytesIO(row["gainmap"]))
+        return sdr, gm, row["text"]
+
+
+def make_dataloader(
+    dataset: ParquetImageDataset,
+    tokenizer,
+    *,
+    batch_size: int,
+    resolution: int = 512,
+    center_crop: bool = False,
+    shuffle: bool = True,
+    seed: int = 0,
+    num_epochs: Optional[int] = None,
+    num_workers: int = 4,
+    max_samples: Optional[int] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yields batches: pixel_values / gainmap_values (B, 3, R, R) float32 in
+    [-1, 1], input_ids / attention_mask (B, 77) int32. Drops the last ragged
+    batch (static shapes for jit)."""
+
+    n = len(dataset) if max_samples is None else min(max_samples, len(dataset))
+    if n < batch_size:
+        raise ValueError(f"dataset ({n}) smaller than batch size ({batch_size})")
+
+    def sample(idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        sdr, gm, text = dataset.load_pair(idx)
+        pv, gv = preprocess_pair(
+            sdr, gm, resolution, center_crop=center_crop, rng=rng
+        )
+        tok = tokenizer(text)
+        return {
+            "pixel_values": pv,
+            "gainmap_values": gv,
+            "input_ids": tok["input_ids"][0],
+            "attention_mask": tok["attention_mask"][0],
+        }
+
+    def epochs() -> Iterator[np.ndarray]:
+        epoch = 0
+        while num_epochs is None or epoch < num_epochs:
+            order = np.arange(n)
+            if shuffle:
+                np.random.default_rng(seed + epoch).shuffle(order)
+            yield epoch, order
+            epoch += 1
+
+    def producer(out_q: "queue.Queue"):
+        try:
+            for epoch, order in epochs():
+                for start in range(0, n - batch_size + 1, batch_size):
+                    idxs = order[start : start + batch_size]
+                    rng = np.random.default_rng((seed, epoch, start))
+                    items = [sample(int(i), rng) for i in idxs]
+                    batch = {
+                        k: np.stack([it[k] for it in items]) for k in items[0]
+                    }
+                    out_q.put(batch)
+        finally:
+            out_q.put(None)
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(2, num_workers))
+    t = threading.Thread(target=producer, args=(q,), daemon=True)
+    t.start()
+
+    def gen():
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
+    return gen()
+
+
+def write_parquet_dataset(
+    path: str,
+    sdr_paths: List[str],
+    gainmap_bytes: List[bytes],
+    texts: List[str],
+) -> None:
+    """Write a reference-schema parquet file (used by tests and data prep)."""
+    import pyarrow as pa
+
+    table = pa.table(
+        {"sdr": sdr_paths, "gainmap": gainmap_bytes, "text": texts}
+    )
+    pq.write_table(table, path)
+
+
+__all__ = ["ParquetImageDataset", "make_dataloader", "write_parquet_dataset"]

@@ -1,0 +1,81 @@
+"""Host-side paired image transforms (numpy/PIL).
+
+Reference chain (train_gm_unet.py:931-941): bilinear resize of the shorter
+side to ``resolution``, center-or-random crop, ToTensor, Normalize(0.5, 0.5).
+
+Deviation (deliberate, SURVEY.md §7.3 "defects not to replicate"): the
+reference calls RandomCrop separately on the SDR and gain-map images, drawing
+two DIFFERENT crop windows and silently mis-aligning the pair; here a single
+crop window is drawn per pair and applied to both.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def resize_shorter_side(img: Image.Image, size: int) -> Image.Image:
+    """Bilinear resize so the shorter side equals ``size`` (torchvision
+    transforms.Resize(int) semantics)."""
+    w, h = img.size
+    if w <= h:
+        new_w, new_h = size, max(1, round(h * size / w))
+    else:
+        new_w, new_h = max(1, round(w * size / h)), size
+    return img.resize((new_w, new_h), Image.BILINEAR)
+
+
+def paired_crop(
+    a: np.ndarray,
+    b: np.ndarray,
+    size: int,
+    rng: np.random.Generator | None = None,
+    center: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Crop the SAME (size, size) window from two (H, W, C) arrays."""
+    h, w = a.shape[:2]
+    if a.shape[:2] != b.shape[:2]:
+        raise ValueError(f"paired images disagree on shape: {a.shape} vs {b.shape}")
+    if h < size or w < size:
+        raise ValueError(f"image {h}x{w} smaller than crop {size}")
+    if center or rng is None:
+        top, left = (h - size) // 2, (w - size) // 2
+    else:
+        top = int(rng.integers(0, h - size + 1))
+        left = int(rng.integers(0, w - size + 1))
+    return (
+        a[top : top + size, left : left + size],
+        b[top : top + size, left : left + size],
+    )
+
+
+def to_model_range(img: np.ndarray) -> np.ndarray:
+    """uint8/float [0,255]|[0,1] HWC -> float32 [-1, 1] CHW."""
+    x = np.asarray(img, np.float32)
+    if x.max() > 1.5:
+        x = x / 255.0
+    x = x * 2.0 - 1.0
+    return np.transpose(x, (2, 0, 1))
+
+
+def preprocess_pair(
+    sdr: Image.Image,
+    gm: Image.Image,
+    resolution: int,
+    *,
+    center_crop: bool = False,
+    rng: np.random.Generator | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Full paired chain -> two (3, resolution, resolution) float32 in [-1,1]."""
+    sdr = resize_shorter_side(sdr.convert("RGB"), resolution)
+    gm = resize_shorter_side(gm.convert("RGB"), resolution)
+    a, b = paired_crop(
+        np.asarray(sdr), np.asarray(gm), resolution, rng=rng, center=center_crop
+    )
+    return to_model_range(a), to_model_range(b)
+
+
+__all__ = ["resize_shorter_side", "paired_crop", "to_model_range", "preprocess_pair"]

@@ -1,0 +1,77 @@
+"""jax.sharding mesh utilities for data-parallel training/inference.
+
+The reference scales via HF Accelerate's DDP wrapper over NCCL (gradient
+all-reduce inside accelerator.backward, train_gm_unet.py:1042-1044). The
+TPU-native equivalent: a 1-D ``data`` mesh over ICI (DCN across hosts),
+batch-sharded inputs via NamedSharding, replicated params, and XLA inserting
+the gradient psum automatically when the jitted train step closes over
+sharded inputs + replicated params (scaling-book recipe: annotate shardings,
+let the compiler place collectives).
+
+A ``model`` axis is reserved for tensor-parallel experiments at >512^2
+resolutions; the SD-1.5 UNet fits per-chip so DP is the default.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh over the first ``n_devices`` devices.
+
+    Default: 1-D data-parallel mesh over all devices. Pass ``shape`` for
+    multi-axis layouts, e.g. shape=(4, 2), axis_names=("data", "model").
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if shape is None:
+        shape = (len(devices),)
+    dev_array = np.asarray(devices).reshape(tuple(shape))
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Device-put a host batch pytree with the batch dim sharded."""
+    sharding = data_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Device-put a pytree fully replicated across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "replicate",
+    "local_device_count",
+]

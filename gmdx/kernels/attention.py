@@ -1,0 +1,56 @@
+"""Attention dispatch: Pallas flash kernel on TPU, fused-softmax XLA fallback.
+
+Replaces the reference's torch SDPA / xformers opt-in path
+(train_vqgan_lora.py:864-866) with a TPU-first design: O(L) memory blockwise
+attention for the UNet/VAE latent grids (4096 tokens at 512^2, 16384 at
+1024^2 — SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _xla_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
+    """Reference attention: softmax in fp32, inputs (B, S, H, D)."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+def dot_product_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    scale: float | None = None,
+    use_pallas: bool | None = None,
+) -> Array:
+    """Multi-head attention over (batch, seq, heads, head_dim) tensors.
+
+    Self- and cross-attention (k/v seq may differ from q seq). No masking —
+    the diffusion UNet/VAE attends densely over the latent grid and CLIP
+    tokens (reference pipelines never pass attention masks to the UNet).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if use_pallas is None:
+        use_pallas = (
+            os.environ.get("GMDX_NO_PALLAS", "0") != "1"
+            and jax.default_backend() == "tpu"
+        )
+    if use_pallas:
+        from gmdx.kernels.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, scale=scale)
+        if out is not None:
+            return out
+    return _xla_attention(q, k, v, scale)
+
+
+__all__ = ["dot_product_attention"]

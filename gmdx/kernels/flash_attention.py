@@ -1,0 +1,196 @@
+"""Blockwise (flash) attention as a Pallas TPU kernel.
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+  * Grid (batch*heads, q_blocks, k_blocks); the k dimension is minor, so the
+    online-softmax running state (row max, row sum, output accumulator) lives
+    in VMEM scratch that persists across the sequential k iterations.
+  * Head dims in SD-1.5 are 40/80/160 — not lane-aligned — so q/k/v are
+    zero-padded to a 128 multiple (zero columns contribute nothing to q.k^T
+    and produce zero output columns, sliced off afterwards). Padded key rows
+    are masked to -inf via an iota comparison against the true key length.
+  * fp32 accumulation regardless of input dtype (bf16 in the hot path).
+  * O(L) memory: no (Sq, Sk) materialization, unlike the reference's opt-in
+    xformers path (train_vqgan_lora.py:864-866) this is always-on.
+  * Training: custom VJP — forward runs the Pallas kernel, backward
+    recomputes attention with the XLA path (latent grids are <=16k tokens,
+    so recompute beats storing the weight matrix).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _flash_kernel(
+    sk_ref,  # SMEM (1,): true (unpadded) key length
+    q_ref,  # VMEM (1, blk_q, d)
+    k_ref,  # VMEM (1, blk_k, d)
+    v_ref,  # VMEM (1, blk_k, d)
+    o_ref,  # VMEM (1, blk_q, d)
+    m_scr,  # VMEM (blk_q, 128) running row max (lane-broadcast)
+    l_scr,  # VMEM (blk_q, 128) running row sum
+    acc_scr,  # VMEM (blk_q, d) fp32 accumulator
+    *,
+    scale: float,
+    blk_k: int,
+):
+    kidx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kidx == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale
+
+    # Mask key positions past the true length.
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kidx * blk_k
+    s = jnp.where(col < sk_ref[0], s, _NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+
+    l_scr[:] = jnp.broadcast_to(
+        corr * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    acc_scr[:] = corr * acc_scr[:] + jax.lax.dot_general(
+        p.astype(v_ref.dtype),
+        v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kidx == nk - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_forward(q: Array, k: Array, v: Array, scale: float) -> Array:
+    """q (BH, Sq, D), k/v (BH, Sk, D) -> (BH, Sq, D). Pads internally."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    dtype = q.dtype
+
+    blk_q = min(512, _round_up(sq, 128))
+    blk_k = min(512, _round_up(sk, 128))
+    sq_p = _round_up(sq, blk_q)
+    sk_p = _round_up(sk, blk_k)
+    d_p = _round_up(d, 128)
+
+    qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, d_p - d)))
+    kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, d_p - d)))
+    vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, d_p - d)))
+    sk_arr = jnp.array([sk], jnp.int32)
+
+    grid = (bh, sq_p // blk_q, sk_p // blk_k)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, blk_k=blk_k),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            # Index maps under PrefetchScalarGridSpec receive the scalar
+            # prefetch refs as trailing args after the grid indices.
+            in_specs=[
+                pl.BlockSpec((1, blk_q, d_p), lambda b, i, j, sk: (b, i, 0)),
+                pl.BlockSpec((1, blk_k, d_p), lambda b, i, j, sk: (b, j, 0)),
+                pl.BlockSpec((1, blk_k, d_p), lambda b, i, j, sk: (b, j, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, blk_q, d_p), lambda b, i, j, sk: (b, i, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((blk_q, 128), jnp.float32),
+                pltpu.VMEM((blk_q, 128), jnp.float32),
+                pltpu.VMEM((blk_q, d_p), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d_p), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq_p * sk_p * d_p,
+            bytes_accessed=2 * bh * (sq_p + 2 * sk_p) * d_p * q.dtype.itemsize,
+            transcendentals=bh * sq_p * sk_p,
+        ),
+    )(sk_arr, qp, kp, vp)
+    return out[:, :sq, :d]
+
+
+def _xla_bshd(q, k, v, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_bshd(q: Array, k: Array, v: Array, scale: float) -> Array:
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
+    of = _flash_forward(qf, kf, vf, scale)
+    return of.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
+def _flash_fwd(q, k, v, scale):
+    return _flash_bshd(q, k, v, scale), (q, k, v)
+
+
+def _flash_bwd(scale, res, g):
+    # Backward = recompute with differentiable XLA ops; memory is fine at
+    # latent-grid sequence lengths and it keeps one kernel to maintain.
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_bshd(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+_flash_bshd.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: Array, k: Array, v: Array, *, scale: float | None = None
+) -> Array | None:
+    """Flash attention over (B, S, H, D); returns None if unsupported.
+
+    The None return lets the dispatch wrapper fall back to XLA without this
+    module needing to know about it.
+    """
+    if q.ndim != 4 or k.ndim != 4 or v.ndim != 4:
+        return None
+    if jax.default_backend() != "tpu":
+        return None
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash_bshd(q, k, v, scale)
+
+
+__all__ = ["flash_attention"]

@@ -1,0 +1,278 @@
+"""Shared UNet/VAE building blocks (flax.linen, NHWC).
+
+Architecture parity targets the SD-1.5 component zoo the reference pins
+(reference scripts/inference/generate_hdr.py:115-135: GroupNorm(32, 1e-5),
+SiLU, cross_attention_dim 768, attention_head_dim 8 == 8 heads) while the
+implementation is TPU-idiomatic: NHWC convs, attention through the
+gmdx.kernels dispatch (Pallas flash kernel on TPU), fp32 softmax/GroupNorm
+statistics under bf16 compute.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gmdx.kernels import dot_product_attention
+
+Array = jax.Array
+
+
+def timestep_embedding(
+    timesteps: Array,
+    dim: int,
+    *,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> Array:
+    """Sinusoidal timestep embedding (diffusers convention for SD-1.5:
+    flip_sin_to_cos=True, freq_shift=0)."""
+    timesteps = jnp.atleast_1d(timesteps)
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    out = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer SiLU MLP lifting the sinusoid to the UNet's temb width."""
+
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_sinusoid: Array) -> Array:
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_1")(t_sinusoid)
+        x = nn.silu(x)
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with fp32 statistics regardless of compute dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        orig_dtype = x.dtype
+        out = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            name="norm",
+        )(x.astype(jnp.float32))
+        return out.astype(orig_dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head attention over (B, S, C) sequences; cross if context given.
+
+    Matches the SD attention block: no-bias q/k/v projections, bias on the
+    output projection, head count = query_dim // head_dim.
+    """
+
+    query_dim: int
+    heads: int
+    head_dim: int
+    context_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
+        context = x if context is None else context
+        inner = self.heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+
+        b, sq, _ = q.shape
+        sk = k.shape[1]
+        q = q.reshape(b, sq, self.heads, self.head_dim)
+        k = k.reshape(b, sk, self.heads, self.head_dim)
+        v = v.reshape(b, sk, self.heads, self.head_dim)
+
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(b, sq, inner)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU MLP: Dense -> split -> x * gelu(gate) -> Dense (mult=4)."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        inner = self.dim * self.mult
+        proj = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        hidden, gate = jnp.split(proj, 2, axis=-1)
+        x = hidden * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(x)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN -> self-attn -> LN -> cross-attn -> LN -> GEGLU FF (pre-norm)."""
+
+    dim: int
+    heads: int
+    head_dim: int
+    context_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(
+            self.dim, self.heads, self.head_dim, dtype=self.dtype, name="attn1"
+        )(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + Attention(
+            self.dim,
+            self.heads,
+            self.head_dim,
+            context_dim=self.context_dim,
+            dtype=self.dtype,
+            name="attn2",
+        )(h, context)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        return x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GN -> 1x1 conv in -> blocks over flattened grid
+    -> 1x1 conv out -> residual. (SD-1.5 uses conv projections.)"""
+
+    channels: int
+    heads: int
+    head_dim: int
+    context_dim: int
+    depth: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        b, h, w, c = x.shape
+        residual = x
+        x = GroupNorm(32, 1e-6, dtype=self.dtype, name="norm")(x)
+        x = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, self.channels)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                self.channels,
+                self.heads,
+                self.head_dim,
+                self.context_dim,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x, context)
+        x = x.reshape(b, h, w, self.channels)
+        x = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + residual
+
+
+class ResnetBlock2D(nn.Module):
+    """GN -> SiLU -> conv -> (+temb proj) -> GN -> SiLU -> conv, residual."""
+
+    out_channels: int
+    use_temb: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Optional[Array] = None) -> Array:
+        in_channels = x.shape[-1]
+        h = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        if self.use_temb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + t[:, None, None, :]
+        h = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    """Strided 3x3 conv. The UNet uses symmetric pad 1; the VAE encoder pads
+    (0,1)x(0,1) — ``asymmetric_pad`` selects that variant."""
+
+    channels: int
+    asymmetric_pad: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        pad = ((0, 1), (0, 1)) if self.asymmetric_pad else ((1, 1), (1, 1))
+        return nn.Conv(
+            self.channels, (3, 3), strides=2, padding=pad, dtype=self.dtype, name="conv"
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    """Nearest 2x upsample + 3x3 conv."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class VAEAttention(nn.Module):
+    """Single-head spatial self-attention for the VAE mid block."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        residual = x
+        x = GroupNorm(32, 1e-6, dtype=self.dtype, name="group_norm")(x)
+        x = x.reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
+        out = dot_product_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+        )[:, :, 0, :]
+        out = nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+        return out.reshape(b, h, w, c) + residual
+
+
+__all__ = [
+    "timestep_embedding",
+    "TimestepEmbedding",
+    "GroupNorm",
+    "Attention",
+    "GEGLUFeedForward",
+    "BasicTransformerBlock",
+    "Transformer2D",
+    "ResnetBlock2D",
+    "Downsample2D",
+    "Upsample2D",
+    "VAEAttention",
+]

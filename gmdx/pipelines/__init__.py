@@ -1,0 +1,18 @@
+"""Inference pipelines: single-UNet GM synthesis and dual-UNet text-to-HDR.
+
+Reference surface (gm_diffusion/pipelines/__init__.py:5-19) rebuilt as
+functional jitted ``lax.scan`` loops over explicit scheduler state.
+"""
+
+from gmdx.pipelines.gm import StableDiffusionGMPipeline, rescale_noise_cfg
+from gmdx.pipelines.dual import (
+    StableDiffusionDualUNetPipeline,
+    StableDiffusionDualUNetImprovedPipeline,
+)
+
+__all__ = [
+    "StableDiffusionGMPipeline",
+    "StableDiffusionDualUNetPipeline",
+    "StableDiffusionDualUNetImprovedPipeline",
+    "rescale_noise_cfg",
+]

@@ -1,0 +1,211 @@
+"""Dual-UNet text-to-HDR pipeline: joint SDR + gain-map denoising.
+
+Behavioral parity with the reference StableDiffusionDualUNetPipeline
+(gm_diffusion/pipelines/stable_diffusion_dual_unet.py:156,1040-1132),
+preserving its subtleties (SURVEY.md §7.3):
+  * separate scheduler state per branch (the reference deepcopies the
+    scheduler, :1036-1037 — here simply two state pytrees);
+  * the GM branch is conditioned on the SDR branch's x0 prediction computed
+    from alphas_cumprod BEFORE the SDR scheduler step (:1072-1075);
+  * the GM branch runs conditional-only — no CFG (:1083-1092);
+  * gm_latents start as a copy of the SDR latents (:1012) and are overwritten
+    by gm_scheduler.scale_model_input at the top of each step (:1048);
+  * the batch>1 embedding mis-slice (``prompt_embeds[1:]``) is fixed to
+    ``[batch:]`` as the reference's own Vis subclass does
+    (visualize_latents.py:274) — identical behavior at batch 1.
+
+The "Improved" pipeline is a verified byte-for-byte clone in the reference
+(SURVEY.md C8); here it is an alias kept for API parity.
+
+Also covers C9 (visualize_latents): ``return_intermediates=True`` stacks the
+per-step (sdr, gm) latents from the scan ys instead of host-side clones.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gmdx.pipelines.gm import StableDiffusionGMPipeline, rescale_noise_cfg
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
+    """Adds the vanilla 4-ch SDR UNet next to the 8-ch GM UNet.
+
+    ``unet`` (inherited) is the SDR UNet; ``gm_unet`` is the 8-channel one.
+    """
+
+    gm_unet: Any = None
+
+    def prepare_latents(self, key, batch_size, height, width, dtype=jnp.float32):
+        noise = jax.random.normal(
+            key, (batch_size, 4, height // 8, width // 8), dtype
+        )
+        return noise * self.scheduler.init_noise_sigma
+
+    def denoise_dual(
+        self,
+        params,
+        prompt_embeds: Array,
+        negative_prompt_embeds: Optional[Array],
+        latents: Array,
+        *,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        guidance_rescale: float = 0.0,
+        eta: float = 0.0,
+        step_keys: Optional[Array] = None,
+        return_intermediates: bool = False,
+    ):
+        do_cfg = negative_prompt_embeds is not None
+        context = (
+            jnp.concatenate([negative_prompt_embeds, prompt_embeds])
+            if do_cfg
+            else prompt_embeds
+        )
+        sched = self.scheduler
+        acp = sched.alphas_cumprod
+        n_steps = self._num_steps(num_inference_steps)
+        sdr_state = self._init_sched_state(num_inference_steps, latents.shape)
+        gm_state = self._init_sched_state(num_inference_steps, latents.shape)
+        gm_latents = latents  # reference :1012 latents.clone()
+        if step_keys is None:
+            step_keys = jax.random.split(jax.random.key(0), n_steps)
+
+        sdr_unet = functools.partial(self.unet.apply, {"params": params["unet"]})
+        gm_unet = functools.partial(
+            self.gm_unet.apply, {"params": params["gm_unet"]}
+        )
+
+        def sched_step(st, eps, lat, key):
+            try:
+                return sched.step(st, eps, lat, key=key)
+            except TypeError:
+                return sched.step(st, eps, lat)
+
+        def body(carry, key):
+            sdr_st, gm_st, lat, gm_lat = carry
+            t = sdr_st.timestep
+
+            # --- SDR branch with CFG (reference :1045-1069) ---
+            lat_in = sched.scale_model_input(sdr_st, lat)
+            # gm scale_model_input overwrites gm_latents (reference :1048).
+            gm_lat = sched.scale_model_input(gm_st, gm_lat)
+            if do_cfg:
+                lat_in = jnp.concatenate([lat_in, lat_in], axis=0)
+            eps = sdr_unet(lat_in, t, context)
+            if do_cfg:
+                eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
+                eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
+                if guidance_rescale > 0.0:
+                    eps = rescale_noise_cfg(eps, eps_text, guidance_rescale)
+
+            # --- x0 prediction BEFORE the SDR step (reference :1072-1075) ---
+            a_t = acp[t]
+            x0 = (lat - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+
+            k_sdr, k_gm = jax.random.split(key)
+            sdr_st, lat = sched_step(sdr_st, eps, lat, k_sdr)
+
+            # --- GM branch, conditional-only (reference :1080-1093) ---
+            gm_in = jnp.concatenate([x0, gm_lat], axis=1)
+            gm_eps = gm_unet(gm_in, t, prompt_embeds)
+            gm_st, gm_lat = sched_step(gm_st, gm_eps, gm_lat, k_gm)
+
+            y = (lat, gm_lat) if return_intermediates else None
+            return (sdr_st, gm_st, lat, gm_lat), y
+
+        (sdr_state, gm_state, latents, gm_latents), inter = jax.lax.scan(
+            body,
+            (sdr_state, gm_state, latents, gm_latents),
+            step_keys[:n_steps],
+        )
+        if return_intermediates:
+            return (latents, gm_latents), inter
+        return latents, gm_latents
+
+    def __call__(
+        self,
+        params,
+        prompt: str | Sequence[str] = "",
+        *,
+        key: Optional[Array] = None,
+        negative_prompt: str | Sequence[str] | None = None,
+        height: int = 512,
+        width: int = 512,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        guidance_rescale: float = 0.0,
+        eta: float = 0.0,
+        latents: Optional[Array] = None,
+        clip_skip: Optional[int] = None,
+        output_type: str = "pil",
+        return_intermediates: bool = False,
+        **_ignored,  # parity: reference swallows unknown kwargs (:811)
+    ):
+        """Returns a (sdr, gm) tuple — postprocessed [0,1] NHWC numpy images,
+        or raw latents when ``output_type == "latent"`` (the reference packs
+        them as [latents, gm_latents], :1123)."""
+        if key is None:
+            key = jax.random.key(0)
+        k_lat, k_steps = jax.random.split(key)
+        do_cfg = guidance_scale > 1.0
+        prompt_embeds, neg_embeds = self.encode_prompt(
+            params, prompt, negative_prompt, do_cfg=do_cfg, clip_skip=clip_skip
+        )
+        batch = prompt_embeds.shape[0]
+        if latents is None:
+            latents = self.prepare_latents(k_lat, batch, height, width)
+        n_steps = self._num_steps(num_inference_steps)
+        step_keys = jax.random.split(k_steps, n_steps)
+        out = self.denoise_dual(
+            params,
+            prompt_embeds,
+            neg_embeds,
+            latents,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            guidance_rescale=guidance_rescale,
+            eta=eta,
+            step_keys=step_keys,
+            return_intermediates=return_intermediates,
+        )
+        if return_intermediates:
+            (sdr_lat, gm_lat), inter = out
+        else:
+            sdr_lat, gm_lat = out
+            inter = None
+
+        if output_type == "latent":
+            result = (sdr_lat, gm_lat)
+        else:
+            def post(lat):
+                img = np.asarray(self.decode_latents(params, lat))
+                return np.transpose(
+                    np.clip(img / 2.0 + 0.5, 0.0, 1.0), (0, 2, 3, 1)
+                )
+
+            result = (post(sdr_lat), post(gm_lat))
+        if return_intermediates:
+            return result, inter
+        return result
+
+
+class StableDiffusionDualUNetImprovedPipeline(StableDiffusionDualUNetPipeline):
+    """Alias: the reference's "improved" pipeline is byte-identical to the
+    dual pipeline apart from its name (SURVEY.md C8; diff shows only a
+    comment noting '20% SD-UNet warmup made no difference')."""
+
+
+__all__ = [
+    "StableDiffusionDualUNetPipeline",
+    "StableDiffusionDualUNetImprovedPipeline",
+]

@@ -1,0 +1,222 @@
+"""Single-UNet gain-map pipeline: SDR-latent-conditioned GM synthesis.
+
+Behavioral parity with the reference StableDiffusionGMPipeline
+(gm_diffusion/pipelines/stable_diffusion_gm.py:156,780-1106): 4-channel noise
+latents sized from the conditioning SDR latent, per-step channel concat
+[sdr_latent, latents] -> 8-ch UNet, CFG duplication, optional
+rescale_noise_cfg, scheduler step — but the whole denoise loop is ONE jitted
+``lax.scan`` (the jit step boundary replaces the reference's per-step
+``xm.mark_step()``), prompts are encoded once on the host boundary, and the
+scheduler is explicit functional state in the scan carry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def rescale_noise_cfg(
+    noise_cfg: Array, noise_pred_text: Array, guidance_rescale: float = 0.0
+) -> Array:
+    """Rescale CFG output toward the text branch's std (Lin et al. 2023,
+    reference stable_diffusion_dual_unet.py:71-94)."""
+    axes = tuple(range(1, noise_cfg.ndim))
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
+    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
+    rescaled = noise_cfg * (std_text / std_cfg)
+    return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
+
+
+@dataclasses.dataclass
+class StableDiffusionGMPipeline:
+    """Functional pipeline: modules are static, params are call arguments."""
+
+    unet: Any  # 8-channel UNet2DConditionModel
+    vae: Any  # AutoencoderKL
+    text_encoder: Any  # CLIPTextModel
+    tokenizer: Any  # CLIPTokenizer
+    scheduler: Any  # functional scheduler (PNDM by default)
+
+    # -- prompt handling (host boundary) ----------------------------------
+    def encode_prompt(
+        self,
+        params,
+        prompt: str | Sequence[str],
+        negative_prompt: str | Sequence[str] | None = None,
+        *,
+        do_cfg: bool = True,
+        clip_skip: Optional[int] = None,
+    ) -> tuple[Array, Optional[Array]]:
+        """Returns (cond_embeds, uncond_embeds or None), each (B, 77, D)."""
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        ids = jnp.asarray(self.tokenizer(list(prompt))["input_ids"])
+        embed = functools.partial(
+            self.text_encoder.apply, {"params": params["text_encoder"]}
+        )
+        cond = embed(ids, clip_skip=clip_skip)
+        if not do_cfg:
+            return cond, None
+        if negative_prompt is None:
+            negative_prompt = [""] * len(prompt)
+        elif isinstance(negative_prompt, str):
+            negative_prompt = [negative_prompt] * len(prompt)
+        neg_ids = jnp.asarray(self.tokenizer(list(negative_prompt))["input_ids"])
+        uncond = embed(neg_ids, clip_skip=clip_skip)
+        return cond, uncond
+
+    def encode_sdr(self, params, sdr_image: Array, key: Array) -> Array:
+        """VAE-encode an SDR image batch (B, 3, H, W) in [-1, 1] to a scaled
+        latent (B, 4, H/8, W/8) — the generate_hdr.py:208-209 preprocessing."""
+        post = self.vae.apply(
+            {"params": params["vae"]}, sdr_image, method=self.vae.encode
+        )
+        return post.sample(key) * self.vae.config.scaling_factor
+
+    def decode_latents(self, params, latents: Array) -> Array:
+        """Latents -> image in [-1, 1] (B, 3, H, W)."""
+        return self.vae.apply(
+            {"params": params["vae"]},
+            latents / self.vae.config.scaling_factor,
+            method=self.vae.decode,
+        )
+
+    # -- sampling ----------------------------------------------------------
+    def prepare_latents(
+        self, key: Array, sdr_latent: Array, dtype=jnp.float32
+    ) -> Array:
+        """4-ch noise sized from the SDR latent (reference hard-forces 4
+        channels and derives H, W from the conditioning latent,
+        stable_diffusion_gm.py:1002-1015)."""
+        b, _, h, w = sdr_latent.shape
+        noise = jax.random.normal(key, (b, 4, h, w), dtype)
+        return noise * self.scheduler.init_noise_sigma
+
+    def _num_steps(self, num_inference_steps: int) -> int:
+        if hasattr(self.scheduler, "num_steps"):
+            return self.scheduler.num_steps(num_inference_steps)
+        return num_inference_steps
+
+    def _init_sched_state(self, num_inference_steps: int, shape):
+        try:
+            return self.scheduler.init_state(num_inference_steps, shape)
+        except TypeError:
+            return self.scheduler.init_state(num_inference_steps)
+
+    def denoise(
+        self,
+        params,
+        sdr_latent: Array,
+        prompt_embeds: Array,
+        negative_prompt_embeds: Optional[Array],
+        latents: Array,
+        *,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        guidance_rescale: float = 0.0,
+        step_keys: Optional[Array] = None,
+        return_intermediates: bool = False,
+    ):
+        """The hot loop (reference stable_diffusion_gm.py:1040-1091) as a
+        scan. Jit-closed over static step count and CFG structure."""
+        do_cfg = negative_prompt_embeds is not None
+        context = (
+            jnp.concatenate([negative_prompt_embeds, prompt_embeds])
+            if do_cfg
+            else prompt_embeds
+        )
+        sched = self.scheduler
+        n_steps = self._num_steps(num_inference_steps)
+        state = self._init_sched_state(num_inference_steps, latents.shape)
+        if step_keys is None:
+            step_keys = jax.random.split(jax.random.key(0), n_steps)
+
+        unet_apply = functools.partial(self.unet.apply, {"params": params["unet"]})
+
+        def body(carry, inp):
+            st, lat = carry
+            key = inp
+            t = st.timestep
+            lat_scaled = sched.scale_model_input(st, lat)
+            model_in = jnp.concatenate([sdr_latent, lat_scaled], axis=1)
+            if do_cfg:
+                model_in = jnp.concatenate([model_in, model_in], axis=0)
+            eps = unet_apply(model_in, t, context)
+            if do_cfg:
+                eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
+                eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
+                if guidance_rescale > 0.0:
+                    eps = rescale_noise_cfg(eps, eps_text, guidance_rescale)
+            try:
+                st, lat = sched.step(st, eps, lat, key=key)
+            except TypeError:
+                st, lat = sched.step(st, eps, lat)
+            return (st, lat), (lat if return_intermediates else None)
+
+        (state, latents), inter = jax.lax.scan(
+            body, (state, latents), step_keys[:n_steps]
+        )
+        if return_intermediates:
+            return latents, inter
+        return latents
+
+    def __call__(
+        self,
+        params,
+        sdr_latent: Array,
+        prompt: str | Sequence[str] = "",
+        *,
+        key: Optional[Array] = None,
+        negative_prompt: str | Sequence[str] | None = None,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        guidance_rescale: float = 0.0,
+        latents: Optional[Array] = None,
+        clip_skip: Optional[int] = None,
+        output_type: str = "pil",
+    ):
+        """Full sampling call. ``output_type``: "latent" returns the GM
+        latent; otherwise returns decoded images in [0, 1] NHWC (numpy).
+
+        ``latents=`` accepts pre-drawn initial noise for parity harnesses
+        (the reference supports the same injection,
+        stable_diffusion_gm.py:796)."""
+        if key is None:
+            key = jax.random.key(0)
+        k_lat, k_steps = jax.random.split(key)
+        do_cfg = guidance_scale > 1.0
+        prompt_embeds, neg_embeds = self.encode_prompt(
+            params, prompt, negative_prompt, do_cfg=do_cfg, clip_skip=clip_skip
+        )
+        if latents is None:
+            latents = self.prepare_latents(k_lat, sdr_latent)
+        n_steps = self._num_steps(num_inference_steps)
+        step_keys = jax.random.split(k_steps, n_steps)
+        gm_latents = self.denoise(
+            params,
+            sdr_latent,
+            prompt_embeds,
+            neg_embeds,
+            latents,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            guidance_rescale=guidance_rescale,
+            step_keys=step_keys,
+        )
+        if output_type == "latent":
+            return gm_latents
+        img = self.decode_latents(params, gm_latents)
+        img = np.asarray(img)
+        img = np.clip(img / 2.0 + 0.5, 0.0, 1.0)
+        return np.transpose(img, (0, 2, 3, 1))
+
+
+__all__ = ["StableDiffusionGMPipeline", "rescale_noise_cfg"]

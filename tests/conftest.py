@@ -6,7 +6,6 @@ Multi-chip sharding paths are exercised on spoofed CPU devices
 
 import os
 
-# Force CPU even when the launch environment pins a TPU platform.
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
@@ -16,4 +15,8 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+# The launch environment registers a TPU backend from sitecustomize before
+# this conftest runs, so the env var alone is not enough — override the
+# already-imported jax's platform config too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,278 @@
+"""Pipeline integration tests on tiny components.
+
+The denoise-loop algebra (CFG combine, channel concat order, scheduler
+integration) is validated against an independent numpy mirror driven by a
+linear probe "UNet" whose output is an exact closed-form function of its
+input — so any bookkeeping error in the scan shows up as numeric divergence.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gmdx.models import (
+    AutoencoderKL,
+    CLIPTextModel,
+    CLIPTokenizer,
+    TINY_CLIP_CONFIG,
+    TINY_UNET_CONFIG,
+    TINY_VAE_CONFIG,
+    UNet2DConditionModel,
+)
+from gmdx.pipelines import (
+    StableDiffusionDualUNetImprovedPipeline,
+    StableDiffusionDualUNetPipeline,
+    StableDiffusionGMPipeline,
+)
+from gmdx.schedulers import PNDMScheduler
+from tests.test_schedulers import numpy_plms_mirror
+
+LAT = (1, 4, 4, 4)
+
+
+class ProbeUNet:
+    """Linear probe: eps = 0.1 * (first 4 channels) + 0.2 * (last 4) + c(ctx).
+
+    Distinguishes the sdr-conditioning channels from the noisy ones and is
+    sensitive to the context, while staying exactly reproducible in numpy.
+    """
+
+    def apply(self, variables, sample, t, context):
+        ctx_term = jnp.mean(context, axis=(1, 2))[:, None, None, None] * 0.05
+        return (
+            0.1 * sample[:, :4] + 0.2 * sample[:, 4:8] + ctx_term
+        ).astype(jnp.float32)
+
+
+class ProbeUNet4:
+    """4-channel probe for the dual pipeline's SDR branch."""
+
+    def apply(self, variables, sample, t, context):
+        ctx_term = jnp.mean(context, axis=(1, 2))[:, None, None, None] * 0.05
+        return (0.15 * sample[:, :4] + ctx_term).astype(jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def components():
+    cfg8 = dataclasses.replace(TINY_UNET_CONFIG, in_channels=8)
+    unet8 = UNet2DConditionModel(cfg8)
+    unet4 = UNet2DConditionModel(TINY_UNET_CONFIG)
+    vae = AutoencoderKL(TINY_VAE_CONFIG)
+    text = CLIPTextModel(TINY_CLIP_CONFIG)
+    tok = CLIPTokenizer.tiny()
+    params = {
+        "unet": unet8.init(
+            jax.random.key(0), jnp.zeros((1, 8, 4, 4)), jnp.array(1.0),
+            jnp.zeros((1, 7, 32)),
+        )["params"],
+        "unet4": unet4.init(
+            jax.random.key(1), jnp.zeros((1, 4, 4, 4)), jnp.array(1.0),
+            jnp.zeros((1, 7, 32)),
+        )["params"],
+        "vae": vae.init(
+            jax.random.key(2), jnp.zeros((1, 3, 32, 32)), jax.random.key(3)
+        )["params"],
+        "text_encoder": text.init(
+            jax.random.key(4), jnp.zeros((1, 77), jnp.int32)
+        )["params"],
+    }
+    return unet8, unet4, vae, text, tok, params
+
+
+class TestGMPipeline:
+    def test_end_to_end_shapes(self, components):
+        unet8, _, vae, text, tok, params = components
+        pipe = StableDiffusionGMPipeline(unet8, vae, text, tok, PNDMScheduler())
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        out = pipe(
+            params, sdr_latent, "a bright scene",
+            key=jax.random.key(6), num_inference_steps=3, output_type="latent",
+        )
+        assert out.shape == LAT
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_deterministic_per_key(self, components):
+        unet8, _, vae, text, tok, params = components
+        pipe = StableDiffusionGMPipeline(unet8, vae, text, tok, PNDMScheduler())
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        a = pipe(params, sdr_latent, "x", key=jax.random.key(7),
+                 num_inference_steps=2, output_type="latent")
+        b = pipe(params, sdr_latent, "x", key=jax.random.key(7),
+                 num_inference_steps=2, output_type="latent")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        c = pipe(params, sdr_latent, "x", key=jax.random.key(8),
+                 num_inference_steps=2, output_type="latent")
+        assert not np.allclose(np.asarray(a), np.asarray(c))
+
+    def test_decode_output(self, components):
+        unet8, _, vae, text, tok, params = components
+        pipe = StableDiffusionGMPipeline(unet8, vae, text, tok, PNDMScheduler())
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        img = pipe(params, sdr_latent, "x", key=jax.random.key(6),
+                   num_inference_steps=2)
+        # Tiny VAE has a single downsample, so 4x4 latents decode to 8x8.
+        assert img.shape == (1, 8, 8, 3)
+        assert img.min() >= 0.0 and img.max() <= 1.0
+
+    def test_loop_algebra_matches_numpy_mirror(self, components):
+        """Probe-UNet trajectory must equal the independent PLMS mirror with
+        hand-computed CFG at every step."""
+        _, _, vae, text, tok, params = components
+        sched = PNDMScheduler()
+        pipe = StableDiffusionGMPipeline(ProbeUNet(), vae, text, tok, sched)
+        n = 4
+        sdr_latent = np.asarray(
+            jax.random.normal(jax.random.key(10), LAT), np.float64
+        )
+        init = np.asarray(jax.random.normal(jax.random.key(11), LAT), np.float64)
+        g = 3.0
+
+        cond, uncond = pipe.encode_prompt(params, "hello", None, do_cfg=True)
+        c_cond = float(jnp.mean(cond)) * 0.05
+        c_uncond = float(jnp.mean(uncond)) * 0.05
+
+        # Mirror: eps_cfg at each step given current latent x.
+        acp = np.asarray(sched.alphas_cumprod, np.float64)
+        num_calls = sched.num_steps(n)
+
+        # Generate the model outputs the probe would produce, stepping the
+        # mirror as we go (model output depends on current x).
+        plms_ts, _ = numpy_plms_mirror(
+            sched.config, [np.zeros(LAT)] * num_calls, init.copy(), n, acp
+        )
+
+        # Re-run mirror with on-the-fly model outputs.
+        def probe_eps(x):
+            e_u = 0.1 * sdr_latent + 0.2 * x + c_uncond
+            e_c = 0.1 * sdr_latent + 0.2 * x + c_cond
+            return e_u + g * (e_c - e_u)
+
+        # stateful numpy PLMS with dynamic model outputs
+        ratio = sched.config.num_train_timesteps // n
+        final_alpha = acp[0]
+
+        def transfer(sample, t, prev_t, eps):
+            a_t = acp[t]
+            a_p = acp[prev_t] if prev_t >= 0 else final_alpha
+            b_t, b_p = 1 - a_t, 1 - a_p
+            denom = a_t * b_p**0.5 + (a_t * b_t * a_p) ** 0.5
+            return (a_p / a_t) ** 0.5 * sample - (a_p - a_t) * eps / denom
+
+        ets, counter, cur_sample = [], 0, None
+        x = init.copy()
+        for t in plms_ts:
+            mo = probe_eps(x)
+            if counter != 1:
+                ets = ets[-3:] + [mo]
+                prev_t = t - ratio
+            else:
+                prev_t = t
+                t = t + ratio
+            if len(ets) == 1 and counter == 0:
+                eff = mo
+                cur_sample = x
+            elif len(ets) == 1 and counter == 1:
+                eff = (mo + ets[-1]) / 2
+                x = cur_sample
+            elif len(ets) == 2:
+                eff = (3 * ets[-1] - ets[-2]) / 2
+            elif len(ets) == 3:
+                eff = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
+            else:
+                eff = (
+                    55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3] - 9 * ets[-4]
+                ) / 24
+            x = transfer(x, t, prev_t, eff)
+            counter += 1
+
+        got = pipe.denoise(
+            params,
+            jnp.asarray(sdr_latent, jnp.float32),
+            cond,
+            uncond,
+            jnp.asarray(init, jnp.float32),
+            num_inference_steps=n,
+            guidance_scale=g,
+        )
+        np.testing.assert_allclose(np.asarray(got), x, rtol=1e-3, atol=1e-4)
+
+
+class TestDualPipeline:
+    def test_end_to_end_latent(self, components):
+        unet8, unet4, vae, text, tok, params = components
+        p = dict(params)
+        p["gm_unet"] = params["unet"]
+        p["unet"] = params["unet4"]
+        pipe = StableDiffusionDualUNetPipeline(
+            unet4, vae, text, tok, PNDMScheduler(), gm_unet=unet8
+        )
+        sdr_lat, gm_lat = pipe(
+            p, "a scene", key=jax.random.key(0), height=32, width=32,
+            num_inference_steps=3, output_type="latent",
+        )
+        assert sdr_lat.shape == (1, 4, 4, 4)
+        assert gm_lat.shape == (1, 4, 4, 4)
+        assert np.isfinite(np.asarray(gm_lat)).all()
+        assert not np.allclose(np.asarray(sdr_lat), np.asarray(gm_lat))
+
+    def test_intermediates(self, components):
+        unet8, unet4, vae, text, tok, params = components
+        p = dict(params)
+        p["gm_unet"] = params["unet"]
+        p["unet"] = params["unet4"]
+        pipe = StableDiffusionDualUNetPipeline(
+            unet4, vae, text, tok, PNDMScheduler(), gm_unet=unet8
+        )
+        (sdr_lat, gm_lat), inter = pipe(
+            p, "x", key=jax.random.key(0), height=32, width=32,
+            num_inference_steps=3, output_type="latent",
+            return_intermediates=True,
+        )
+        n_steps = PNDMScheduler().num_steps(3)
+        assert inter[0].shape == (n_steps, 1, 4, 4, 4)
+        assert inter[1].shape == (n_steps, 1, 4, 4, 4)
+        np.testing.assert_array_equal(np.asarray(inter[0][-1]), np.asarray(sdr_lat))
+        np.testing.assert_array_equal(np.asarray(inter[1][-1]), np.asarray(gm_lat))
+
+    def test_unknown_kwargs_swallowed(self, components):
+        unet8, unet4, vae, text, tok, params = components
+        p = dict(params)
+        p["gm_unet"] = params["unet"]
+        p["unet"] = params["unet4"]
+        pipe = StableDiffusionDualUNetImprovedPipeline(
+            unet4, vae, text, tok, PNDMScheduler(), gm_unet=unet8
+        )
+        out = pipe(
+            p, "x", key=jax.random.key(0), height=32, width=32,
+            num_inference_steps=2, output_type="latent",
+            use_karras_sigmas=True, noise_level=20,
+        )
+        assert out[0].shape == (1, 4, 4, 4)
+
+    def test_gm_branch_is_conditional_only(self, components):
+        """With a probe GM UNet sensitive to context batch size, the GM branch
+        must see only the conditional embeddings (batch 1, not 2)."""
+        _, _, vae, text, tok, params = components
+
+        seen = {}
+
+        class RecordingProbe:
+            def apply(self, variables, sample, t, context):
+                seen["gm_ctx_batch"] = context.shape[0]
+                seen["gm_in_channels"] = sample.shape[1]
+                return jnp.zeros_like(sample[:, 4:8])
+
+        pipe = StableDiffusionDualUNetPipeline(
+            ProbeUNet4(), vae, text, tok, PNDMScheduler(), gm_unet=RecordingProbe()
+        )
+        p = dict(params)
+        p["gm_unet"] = {}  # probes ignore their params
+        pipe(
+            p, "x", key=jax.random.key(0), height=32, width=32,
+            num_inference_steps=2, guidance_scale=7.5, output_type="latent",
+        )
+        assert seen["gm_ctx_batch"] == 1  # conditional-only, no CFG doubling
+        assert seen["gm_in_channels"] == 8  # [x0, gm_latents] concat

@@ -78,12 +78,23 @@ class TestDDIM:
         x0, eps = x0_eps
         sched = DDIMScheduler()
         n = 20
-        state = sched.init_state(n)
-        xt = path_point(sched.alphas_cumprod, x0, eps, int(state.timesteps[0]))
-        for _ in range(n):
-            a = sched.alphas_cumprod[state.timestep]
-            true_eps = (xt - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
-            state, xt = sched.step(state, true_eps, xt)
+
+        @jax.jit
+        def run():
+            state = sched.init_state(n)
+            xt = path_point(sched.alphas_cumprod, x0, eps, state.timesteps[0])
+
+            def body(carry, _):
+                st, x = carry
+                a = sched.alphas_cumprod[st.timestep]
+                true_eps = (x - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+                st, x = sched.step(st, true_eps, x)
+                return (st, x), None
+
+            (_, xt), _ = jax.lax.scan(body, (state, xt), None, length=n)
+            return xt
+
+        xt = run()
         # Endpoint is the path point at final_alpha_cumprod (not exactly x0).
         a_final = sched.final_alpha_cumprod
         want = jnp.sqrt(a_final) * x0 + jnp.sqrt(1 - a_final) * eps
@@ -122,7 +133,7 @@ class TestDDPM:
             got, want_mean + jnp.sqrt(var) * noise, rtol=1e-4, atol=1e-4
         )
 
-    def test_final_step_adds_no_noise(self, x0_eps):
+    def test_final_step_variance_matches_formula(self, x0_eps):
         x0, eps = x0_eps
         sched = DDPMScheduler()
         state = sched.init_state(50)
@@ -131,25 +142,40 @@ class TestDDPM:
         xt = path_point(sched.alphas_cumprod, x0, eps, 1)
         _, a = sched.step(last, eps, xt, key=jax.random.key(0))
         _, b = sched.step(last, eps, xt, key=jax.random.key(1))
-        np.testing.assert_allclose(a, b, atol=0)  # t==1 -> prev_t<=0 -> no noise? t>0 adds noise
-        # NOTE: t=1 > 0 adds noise; equality above holds only if variance ~ 0.
-        # fixed_small variance at the last leading step is tiny but nonzero —
-        # so instead just assert the step is finite and close between keys.
+        # t=1 > 0 still adds noise; the spread between keys must equal
+        # sqrt(var) * (n0 - n1) for the fixed-small posterior variance.
+        a_t = sched.alphas_cumprod[1]
+        a_p = sched.final_alpha_cumprod
+        var = (1 - a_p) / (1 - a_t) * (1 - a_t / a_p)
+        n0 = jax.random.normal(jax.random.key(0), xt.shape, xt.dtype)
+        n1 = jax.random.normal(jax.random.key(1), xt.shape, xt.dtype)
+        np.testing.assert_allclose(
+            a - b, jnp.sqrt(var) * (n0 - n1), rtol=1e-4, atol=1e-6
+        )
 
     def test_perfect_eps_50step_sampling_recovers_x0(self, x0_eps):
         x0, eps = x0_eps
         sched = DDPMScheduler()
         n = 50
-        state = sched.init_state(n)
-        key = jax.random.key(11)
-        xt = path_point(sched.alphas_cumprod, x0, eps, int(state.timesteps[0]))
-        for i in range(n):
-            key, sub = jax.random.split(key)
-            a = sched.alphas_cumprod[state.timestep]
-            true_eps = (xt - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
-            state, xt = sched.step(state, true_eps, xt, key=sub)
+
+        @jax.jit
+        def run():
+            state = sched.init_state(n)
+            xt = path_point(sched.alphas_cumprod, x0, eps, state.timesteps[0])
+
+            def body(carry, sub):
+                st, x = carry
+                a = sched.alphas_cumprod[st.timestep]
+                true_eps = (x - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+                st, x = sched.step(st, true_eps, x, key=sub)
+                return (st, x), None
+
+            keys = jax.random.split(jax.random.key(11), n)
+            (_, xt), _ = jax.lax.scan(body, (state, xt), keys)
+            return xt
+
         # Ancestral sampling is stochastic; demand closeness, not equality.
-        assert float(jnp.mean((xt - x0) ** 2)) < 5e-3
+        assert float(jnp.mean((run() - x0) ** 2)) < 5e-3
 
 
 def numpy_plms_mirror(sched_cfg, model_outputs, x_init, num_steps, alphas_cumprod):
@@ -217,10 +243,11 @@ class TestPNDM:
             np.asarray(sched.timesteps(n)), np.asarray(plms_ts)
         )
 
+        step = jax.jit(sched.step)
         state = sched.init_state(n, SHAPE)
         x = jnp.asarray(x_init)
         for i in range(num_model_calls):
-            state, x = sched.step(state, jnp.asarray(outs[i]), x)
+            state, x = step(state, jnp.asarray(outs[i]), x)
             np.testing.assert_allclose(
                 np.asarray(x, np.float64), traj[i], rtol=2e-4, atol=2e-4,
                 err_msg=f"step {i} diverged",
@@ -230,12 +257,25 @@ class TestPNDM:
         x0, eps = x0_eps
         sched = PNDMScheduler()
         n = 50
-        state = sched.init_state(n, SHAPE)
-        xt = path_point(sched.alphas_cumprod, x0, eps, int(state.timesteps[0]))
-        for _ in range(sched.num_steps(n)):
-            a = sched.alphas_cumprod[state.timestep]
-            true_eps = (xt - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
-            state, xt = sched.step(state, true_eps, xt)
+
+        @jax.jit
+        def run():
+            state = sched.init_state(n, SHAPE)
+            xt = path_point(sched.alphas_cumprod, x0, eps, state.timesteps[0])
+
+            def body(carry, _):
+                st, x = carry
+                a = sched.alphas_cumprod[st.timestep]
+                true_eps = (x - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+                st, x = sched.step(st, true_eps, x)
+                return (st, x), None
+
+            (_, xt), _ = jax.lax.scan(
+                body, (state, xt), None, length=sched.num_steps(n)
+            )
+            return xt
+
+        xt = run()
         a_f = sched.final_alpha_cumprod
         want = jnp.sqrt(a_f) * x0 + jnp.sqrt(1 - a_f) * eps
         np.testing.assert_allclose(xt, want, rtol=5e-3, atol=5e-3)
@@ -267,7 +307,9 @@ class TestDPM:
     def test_timesteps_linspace(self):
         sched = DPMSolverMultistepScheduler()
         ts = np.asarray(sched.timesteps(20))
-        assert ts[0] == 999 and ts[-1] == 0
+        # linspace(0, 999, 21).round() reversed, dropping the trailing 0 —
+        # the final step's transfer target is t=0, not a timestep entry.
+        assert ts[0] == 999 and ts[-1] == 50
         assert len(ts) == 20
         assert all(np.diff(ts) < 0)
 
@@ -275,13 +317,26 @@ class TestDPM:
         x0, eps = x0_eps
         sched = DPMSolverMultistepScheduler()
         n = 20
-        state = sched.init_state(n, SHAPE)
-        xt = path_point(sched.alphas_cumprod, x0, eps, int(state.timesteps[0]))
-        for _ in range(n):
-            a = sched.alphas_cumprod[state.timestep]
-            true_eps = (xt - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
-            state, xt = sched.step(state, true_eps, xt)
-        np.testing.assert_allclose(xt, x0, rtol=2e-2, atol=2e-2)
+
+        @jax.jit
+        def run():
+            state = sched.init_state(n, SHAPE)
+            xt = path_point(sched.alphas_cumprod, x0, eps, state.timesteps[0])
+
+            def body(carry, _):
+                st, x = carry
+                a = sched.alphas_cumprod[st.timestep]
+                true_eps = (x - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+                st, x = sched.step(st, true_eps, x)
+                return (st, x), None
+
+            (_, xt), _ = jax.lax.scan(body, (state, xt), None, length=n)
+            return xt
+
+        xt = run()
+        # Endpoint is the t=0 path point (alphas_cumprod[0] = 0.99915).
+        want = path_point(sched.alphas_cumprod, x0, eps, 0)
+        assert float(jnp.mean((xt - want) ** 2)) < 1e-4
 
     def test_first_order_step_formula(self, x0_eps):
         x0, eps = x0_eps
