@@ -1,0 +1,112 @@
+"""Headline benchmark: dual-UNet text-to-HDR throughput at 512^2, 50 steps.
+
+Driver config 4 (BASELINE.md): joint SDR+GM latent denoising, CFG 7.5,
+batch 8 at 512^2, PNDM 50 steps, followed by both VAE decodes — the full
+device-side pipeline of gmdx/pipelines/dual.py, jitted end to end, bf16
+compute. Params are random SD-1.5-shaped weights (throughput is
+weight-agnostic).
+
+Baseline: the reference publishes no numbers (SURVEY.md §6). The comparison
+value is an A100 estimate for the same workload from public SD-1.5 benchmarks:
+~0.5 img/s for 50-step CFG 512^2 single-UNet fp16 inference, scaled by the
+dual pipeline's 3 UNet forwards per step vs 2 (≈0.33 img/s/GPU). The driver
+target is >=2x that (BASELINE.json north_star), i.e. vs_baseline >= 2.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_IMG_PER_S = 0.33
+
+BATCH = int(os.environ.get("GMDX_BENCH_BATCH", "4"))
+STEPS = int(os.environ.get("GMDX_BENCH_STEPS", "50"))
+HEIGHT = WIDTH = int(os.environ.get("GMDX_BENCH_RES", "512"))
+REPEATS = int(os.environ.get("GMDX_BENCH_REPEATS", "3"))
+DTYPE = jnp.bfloat16
+
+
+def build():
+    from gmdx.models import (
+        AutoencoderKL,
+        SD15_GM_UNET_CONFIG,
+        SD15_UNET_CONFIG,
+        SD15_VAE_CONFIG,
+        UNet2DConditionModel,
+    )
+    from gmdx.pipelines import StableDiffusionDualUNetPipeline
+    from gmdx.schedulers import PNDMScheduler
+
+    sdr_unet = UNet2DConditionModel(SD15_UNET_CONFIG, dtype=DTYPE)
+    gm_unet = UNet2DConditionModel(SD15_GM_UNET_CONFIG, dtype=DTYPE)
+    vae = AutoencoderKL(SD15_VAE_CONFIG, dtype=DTYPE)
+    pipe = StableDiffusionDualUNetPipeline(
+        sdr_unet, vae, None, None, PNDMScheduler(), gm_unet=gm_unet
+    )
+
+    h = w = HEIGHT // 8
+    rng = jax.random.key(0)
+    print("initializing params...", flush=True)
+    params = {
+        "unet": jax.jit(sdr_unet.init)(
+            rng, jnp.zeros((1, 4, h, w)), jnp.array(1.0),
+            jnp.zeros((1, 77, 768)),
+        )["params"],
+        "gm_unet": jax.jit(gm_unet.init)(
+            rng, jnp.zeros((1, 8, h, w)), jnp.array(1.0),
+            jnp.zeros((1, 77, 768)),
+        )["params"],
+        "vae": jax.jit(vae.init)(
+            rng, jnp.zeros((1, 3, 64, 64)), jax.random.key(1)
+        )["params"],
+    }
+
+    def run(params, latents, cond, uncond):
+        sdr_lat, gm_lat = pipe.denoise_dual(
+            params, cond, uncond, latents,
+            num_inference_steps=STEPS, guidance_scale=7.5,
+        )
+        sdr = pipe.decode_latents(params, sdr_lat)
+        gm = pipe.decode_latents(params, gm_lat)
+        return sdr, gm
+
+    latents = jax.random.normal(jax.random.key(2), (BATCH, 4, h, w))
+    cond = jax.random.normal(jax.random.key(3), (BATCH, 77, 768), DTYPE)
+    uncond = jax.random.normal(jax.random.key(4), (BATCH, 77, 768), DTYPE)
+    return jax.jit(run), (params, latents, cond, uncond)
+
+
+def main() -> None:
+    fn, args = build()
+    print("compiling + warmup...", flush=True)
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    img_per_s = BATCH / best
+    result = {
+        "metric": f"dual-UNet text-to-HDR {HEIGHT}^2 {STEPS}-step throughput",
+        "value": round(img_per_s, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / A100_BASELINE_IMG_PER_S, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

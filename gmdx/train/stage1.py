@@ -1,0 +1,308 @@
+"""Stage-1 VAE-LoRA + GAN training: learn the gain-map decoder head.
+
+Reference (scripts/stage1/train_vqgan_lora.py:1080-1290): LoRA r=64 on every
+VAE conv/linear via PEFT plus an unfrozen ``decoder.conv_out``; alternating
+generator/discriminator steps keyed by the *dataloader index*
+``(i // grad_accum) % 2`` (:1114 — the cadence is preserved by the caller
+alternating ``gen_step``/``disc_step`` per batch); generator loss =
+recon(L2|L1) + VGG19 perceptual + adaptive_weight · (−D(fake)) where the
+adaptive weight is the ratio of the two losses' gradient norms at the
+decoder's conv_out kernel (:1165-1177); discriminator loss = hinge + R1-style
+gradient penalty on the reals (:1197-1214, helper :141-152).
+
+TPU-native shape: trainables are {lora factors, conv_out kernel/bias} — the
+frozen VAE param tree is never copied per step; ``merge_lora`` builds the
+effective params inside the jitted step, and the adaptive weight's
+grad-norm-ratio uses ``jax.grad`` w.r.t. only the conv_out kernel (reverse
+AD stops there — no full double backward). The gradient penalty is a true
+grad-of-grad through the discriminator, which JAX composes directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gmdx.models.lora import LoRAConfig, merge_lora
+from gmdx.models.vgg import perceptual_loss as vgg_feature_mse
+from gmdx.models.vgg import resize_for_vgg
+from gmdx.ops import apply_gm_to_sdr, gamut_compress
+from gmdx.train.ema import EMAConfig, EMAState, ema_init, ema_update
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage1Config:
+    qmax: float = 49.0
+    vae_loss: str = "l2"  # "l2" | "l1"
+    lora: LoRAConfig = LoRAConfig(rank=64, alpha=64.0)
+    gp_weight: float = 10.0
+    adaptive_weight_max: float = 1e4
+    scaling_factor: float = 0.18215
+    use_ema: bool = False
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Stage1State:
+    trainables: Any  # {"lora": {...}, "conv_out": {"kernel","bias"}}
+    disc_params: Any
+    disc_vars: Any  # spectral-norm power-iteration vectors (mutable coll.)
+    opt_state: Any
+    disc_opt_state: Any
+    ema: Optional[EMAState]
+    step: Array
+
+    def tree_flatten(self):
+        return (
+            self.trainables,
+            self.disc_params,
+            self.disc_vars,
+            self.opt_state,
+            self.disc_opt_state,
+            self.ema,
+            self.step,
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, _aux, children):
+        return cls(*children)
+
+
+def _set_conv_out(vae_params, conv_out):
+    """Return a param tree with decoder/conv_out replaced (pure)."""
+    params = dict(vae_params)
+    decoder = dict(params["decoder"])
+    decoder["conv_out"] = conv_out
+    params["decoder"] = decoder
+    return params
+
+
+def effective_vae_params(config: Stage1Config, vae_params, trainables):
+    merged = merge_lora(vae_params, trainables["lora"], config.lora.scale)
+    return _set_conv_out(merged, trainables["conv_out"])
+
+
+def init_trainables(key: Array, vae_params, config: Stage1Config):
+    from gmdx.models.lora import init_lora_params
+
+    lora = init_lora_params(key, vae_params, config.lora)
+    return {
+        "lora": lora,
+        "conv_out": jax.tree.map(
+            jnp.asarray, vae_params["decoder"]["conv_out"]
+        ),
+    }
+
+
+def gm_forward(config: Stage1Config, vae, params, miss_pixels: Array, key: Array):
+    """sigmoid(decode(encode(x).sample()·s / s)) — the reference's GM head
+    (train_vqgan_lora.py:1121-1123). ``miss_pixels`` in [-1, 1] NCHW."""
+    post = vae.apply({"params": params}, miss_pixels, method=vae.encode)
+    latent = post.sample(key) * config.scaling_factor
+    decoded = vae.apply(
+        {"params": params}, latent / config.scaling_factor, method=vae.decode
+    )
+    return jax.nn.sigmoid(decoded)
+
+
+def reconstruct_and_tonemap(
+    config: Stage1Config, gm: Array, sdr01: Array, tmo_fn: Callable
+) -> Array:
+    hdr = apply_gm_to_sdr(gm, sdr01, qmax=config.qmax)
+    return gamut_compress(tmo_fn(hdr, qmax=config.qmax))
+
+
+def perceptual(vgg, vgg_params, a01: Array, b01: Array) -> Array:
+    """VGG19 feature-pyramid MSE, mean over levels (reference helper
+    :113-129): resize to the backbone resolution + imagenet normalize."""
+    fa = vgg.apply({"params": vgg_params}, resize_for_vgg(a01))
+    fb = vgg.apply({"params": vgg_params}, resize_for_vgg(b01))
+    return vgg_feature_mse(fa, fb)
+
+
+def make_gen_step(
+    config: Stage1Config,
+    *,
+    vae,
+    discriminator,
+    vgg,
+    tmo_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    donate: bool = True,
+):
+    """Generator step. ``batch = {"pixel_values", "miss_pixel_values"}`` both
+    in [-1, 1] NCHW; frozen = {"vae", "vgg"} param trees."""
+
+    def disc_apply(disc_params, disc_vars, x01):
+        # Inference pass: frozen power-iteration stats (update only in D step).
+        return discriminator.apply(
+            {"params": disc_params, **disc_vars}, x01, update_sn=False
+        )
+
+    def step_fn(state: Stage1State, frozen, batch, key: Array):
+        target01 = (batch["pixel_values"] + 1.0) / 2.0
+        miss = batch["miss_pixel_values"]
+        sdr01 = (miss + 1.0) / 2.0
+
+        def losses(trainables):
+            params = effective_vae_params(config, frozen["vae"], trainables)
+            gm = gm_forward(config, vae, params, miss, key)
+            tmo = reconstruct_and_tonemap(config, gm, sdr01, tmo_fn)
+            if config.vae_loss == "l2":
+                recon = jnp.mean((target01 - tmo) ** 2)
+            else:
+                recon = jnp.mean(jnp.abs(target01 - tmo))
+            perc = perceptual(vgg, frozen["vgg"], target01, tmo)
+            adv = -jnp.mean(disc_apply(state.disc_params, state.disc_vars, tmo))
+            return recon, perc, adv
+
+        def total_loss(trainables):
+            recon, perc, adv = losses(trainables)
+
+            # Adaptive weight: grad-norm ratio at the conv_out kernel
+            # (reference :1165-1174). Differentiating w.r.t. only the kernel
+            # keeps the extra backward passes short; the weight itself is a
+            # constant (stop_grad) in the loss.
+            def at_kernel(sel):
+                def f(kernel):
+                    t = dict(trainables)
+                    co = dict(t["conv_out"])
+                    co["kernel"] = kernel
+                    t["conv_out"] = co
+                    _, p, a = losses(t)
+                    return p if sel == "perc" else a
+
+                return jnp.linalg.norm(
+                    jax.lax.stop_gradient(
+                        jax.grad(f)(trainables["conv_out"]["kernel"])
+                    )
+                )
+
+            adaptive = at_kernel("perc") / jnp.maximum(at_kernel("adv"), 1e-8)
+            adaptive = jnp.minimum(adaptive, config.adaptive_weight_max)
+            loss = recon + perc + adaptive * adv
+            return loss, {
+                "recon": recon,
+                "perceptual": perc,
+                "adversarial": adv,
+                "adaptive_weight": adaptive,
+            }
+
+        (loss, parts), grads = jax.value_and_grad(total_loss, has_aux=True)(
+            state.trainables
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.trainables
+        )
+        trainables = optax.apply_updates(state.trainables, updates)
+        ema = (
+            ema_update(EMAConfig(), state.ema, trainables)
+            if state.ema is not None
+            else None
+        )
+        new_state = dataclasses.replace(
+            state,
+            trainables=trainables,
+            opt_state=opt_state,
+            ema=ema,
+            step=state.step + 1,
+        )
+        metrics = {"gen_loss": loss, "grad_norm": optax.global_norm(grads), **parts}
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_disc_step(
+    config: Stage1Config,
+    *,
+    vae,
+    discriminator,
+    tmo_fn: Callable,
+    optimizer: optax.GradientTransformation,
+    donate: bool = True,
+):
+    """Discriminator step: hinge + gradient penalty on reals
+    (reference :1197-1214; penalty = weight · mean((‖∂D/∂x_real‖₂ − 1)²))."""
+
+    def step_fn(state: Stage1State, frozen, batch, key: Array):
+        target01 = (batch["pixel_values"] + 1.0) / 2.0
+        miss = batch["miss_pixel_values"]
+        sdr01 = (miss + 1.0) / 2.0
+
+        # Fake images from the current generator, detached (:1197).
+        params = effective_vae_params(config, frozen["vae"], state.trainables)
+        gm = gm_forward(config, vae, params, miss, key)
+        fake = jax.lax.stop_gradient(
+            reconstruct_and_tonemap(config, gm, sdr01, tmo_fn)
+        )
+
+        def loss_fn(disc_params):
+            def real_sum(x01):
+                out = discriminator.apply(
+                    {"params": disc_params, **state.disc_vars},
+                    x01,
+                    update_sn=False,
+                )
+                return jnp.sum(out), out
+
+            (_, real_out), grad_images = jax.value_and_grad(
+                real_sum, has_aux=True
+            )(target01)
+            fake_out = discriminator.apply(
+                {"params": disc_params, **state.disc_vars}, fake, update_sn=False
+            )
+            hinge = jnp.mean(
+                jax.nn.relu(1.0 + fake_out) + jax.nn.relu(1.0 - real_out)
+            )
+            g = grad_images.reshape(grad_images.shape[0], -1)
+            gp = config.gp_weight * jnp.mean(
+                (jnp.linalg.norm(g, axis=1) - 1.0) ** 2
+            )
+            return hinge + gp, {"hinge": hinge, "gp": gp}
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.disc_params
+        )
+        updates, disc_opt_state = optimizer.update(
+            grads, state.disc_opt_state, state.disc_params
+        )
+        disc_params = optax.apply_updates(state.disc_params, updates)
+
+        # Refresh the spectral-norm power-iteration vectors once per D step.
+        _, disc_vars = discriminator.apply(
+            {"params": disc_params, **state.disc_vars},
+            fake,
+            update_sn=True,
+            mutable=list(state.disc_vars.keys()),
+        )
+
+        new_state = dataclasses.replace(
+            state,
+            disc_params=disc_params,
+            disc_vars=disc_vars,
+            disc_opt_state=disc_opt_state,
+            step=state.step + 1,
+        )
+        metrics = {"disc_loss": loss, **parts}
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+__all__ = [
+    "Stage1Config",
+    "Stage1State",
+    "init_trainables",
+    "effective_vae_params",
+    "gm_forward",
+    "reconstruct_and_tonemap",
+    "make_gen_step",
+    "make_disc_step",
+]

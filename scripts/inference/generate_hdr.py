@@ -1,0 +1,148 @@
+"""Stage-3 SDR→HDR up-conversion CLI (reference scripts/inference/
+generate_hdr.py:145-282, same flag surface).
+
+Per PNG under --sdr_input_path: normalize to [-1, 1], VAE-encode (×scaling),
+run the single-UNet GM pipeline (50 steps, fixed seed), decode both the SDR
+round-trip and the gain map, save sdr_*.png / gm_*.png, reconstruct HDR with
+qmax=99 via Eq.(1) from BOTH the decoded SDR and the original SDR, and write
+Radiance .hdr files (BT.2020 primaries, values normalized by qmax+1).
+
+Unlike the reference (which feeds numpy into a torch op and would TypeError —
+SURVEY.md C12), reconstruction here runs on device via gmdx.ops.
+
+--pretrained_model_name_or_path: a gmdx pipeline dir (vae + text_encoder +
+tokenizer + scheduler). --unet_ckpt: the trained 8-ch GM UNet component dir
+(or a pipeline dir containing `unet/`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Test the trained model.")
+    parser.add_argument(
+        "--pretrained_model_name_or_path", type=str, default=None, required=True,
+        help="Path to the gmdx pipeline directory (vae/text_encoder/tokenizer).",
+    )
+    parser.add_argument(
+        "--unet_ckpt", type=str, default=None, required=True,
+        help="Path to the trained GM UNet component (or pipeline dir).",
+    )
+    parser.add_argument(
+        "--sdr_input_path", type=str, default=None, required=True,
+        help="Path to the input SDR image directory.",
+    )
+    parser.add_argument(
+        "--output_dir", type=str, default="test_outputs",
+        help="The output directory where the model predictions will be written.",
+    )
+    parser.add_argument("--seed", type=int, default=42,
+                        help="A seed for reproducible testing.")
+    parser.add_argument("--resolution", type=int, default=512,
+                        help="The resolution for validation images.")
+    parser.add_argument("--num_inference_steps", type=int, default=50)
+    parser.add_argument("--qmax", type=float, default=99.0)
+    parser.add_argument(
+        "--prompt", type=str,
+        default="high quality, high dynamic range, 8k resolution",
+    )
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gmdx.io import load_image, save_image, to_model_input, save_hdr_image
+    from gmdx.io.pipeline import load_component, load_pipeline
+    from gmdx.ops import apply_gm_to_sdr
+    from gmdx.pipelines import StableDiffusionGMPipeline
+
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    bundle = load_pipeline(args.pretrained_model_name_or_path)
+    unet_dir = args.unet_ckpt
+    if os.path.isdir(os.path.join(unet_dir, "unet")):
+        unet_dir = os.path.join(unet_dir, "unet")
+    unet, unet_params = load_component(unet_dir)
+    if unet.config.in_channels != 8:
+        raise ValueError(
+            f"--unet_ckpt must be the 8-channel GM UNet, got "
+            f"in_channels={unet.config.in_channels}"
+        )
+
+    pipe = StableDiffusionGMPipeline(
+        unet,
+        bundle["modules"]["vae"],
+        bundle["modules"]["text_encoder"],
+        bundle["tokenizer"],
+        bundle["scheduler"],
+    )
+    params = {
+        "unet": unet_params,
+        "vae": bundle["params"]["vae"],
+        "text_encoder": bundle["params"]["text_encoder"],
+    }
+
+    pngs = sorted(glob.glob(os.path.join(args.sdr_input_path, "*.png")))
+    if not pngs:
+        raise FileNotFoundError(f"no .png files under {args.sdr_input_path}")
+    print(f"found {len(pngs)} SDR images")
+
+    key = jax.random.key(args.seed)
+    for path in pngs:
+        name = os.path.splitext(os.path.basename(path))[0]
+        sdr01 = load_image(path, size=(args.resolution, args.resolution))
+        sdr_in = jnp.asarray(to_model_input(sdr01))  # (1, 3, H, W) in [-1,1]
+
+        k_enc, k_pipe = jax.random.split(jax.random.fold_in(key, hash(name) % 2**31))
+        sdr_latent = pipe.encode_sdr(params, sdr_in, k_enc)
+        gm_latent = pipe(
+            params,
+            sdr_latent,
+            args.prompt,
+            key=k_pipe,
+            num_inference_steps=args.num_inference_steps,
+            output_type="latent",
+        )
+
+        decoded_sdr = pipe.decode_latents(params, sdr_latent)
+        decoded_gm = pipe.decode_latents(params, gm_latent)
+        dec_sdr01 = np.clip(np.asarray(decoded_sdr[0]) / 2 + 0.5, 0, 1)
+        gm01 = np.clip(np.asarray(decoded_gm[0]) / 2 + 0.5, 0, 1)
+
+        save_image(
+            os.path.join(args.output_dir, f"sdr_{name}.png"),
+            dec_sdr01.transpose(1, 2, 0),
+        )
+        save_image(
+            os.path.join(args.output_dir, f"gm_{name}.png"),
+            gm01.transpose(1, 2, 0),
+        )
+
+        # HDR from both the decoded and the original SDR (reference :256-265).
+        orig01 = np.asarray(sdr01, np.float32).transpose(2, 0, 1)
+        for tag, base in (("decoded", dec_sdr01), ("original", orig01)):
+            hdr = np.asarray(
+                apply_gm_to_sdr(
+                    jnp.asarray(gm01), jnp.asarray(base), qmax=args.qmax,
+                    clip_output=False,
+                )
+            )
+            save_hdr_image(
+                os.path.join(args.output_dir, f"hdr_{tag}_{name}.hdr"),
+                hdr.transpose(1, 2, 0),
+                qmax=args.qmax,
+            )
+        print(f"{name}: done")
+
+
+if __name__ == "__main__":
+    main()

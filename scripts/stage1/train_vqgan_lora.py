@@ -1,0 +1,378 @@
+"""Stage-1 VAE-LoRA + GAN trainer CLI (reference scripts/stage1/
+train_vqgan_lora.py, same flag surface; SURVEY.md C10).
+
+Alternates generator/discriminator steps keyed by the dataloader index
+``(i // grad_accum) % 2`` — the reference's exact cadence (:1114), which
+changes what data each branch sees. Generator: recon(L2|L1) + VGG19
+perceptual + adaptive-weight adversarial through the Eq.(1)-TMO-gamut chain
+at qmax=49; discriminator: hinge + gradient penalty. Optional exposure-clip
+augmentation (--clip_pixel, prob 0.7) runs on host before sharding.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+logger = logging.getLogger("gmdx.stage1")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Stage-1 VAE-LoRA GAN training.")
+    # data
+    p.add_argument("--dataset_name", type=str, default=None)
+    p.add_argument("--dataset_config_name", type=str, default=None)
+    p.add_argument("--dataset_cache_dir", type=str, default=None)
+    p.add_argument("--cache_dir", type=str, default=None)
+    p.add_argument("--train_data_dir", type=str, default=None)
+    p.add_argument("--train_metadata", type=str, default=None)
+    p.add_argument("--image_column", type=str, default="sdr")
+    p.add_argument("--max_train_samples", type=int, default=None)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--center_crop", action="store_true")
+    p.add_argument("--random_flip", action="store_true")
+    p.add_argument("--dataloader_num_workers", type=int, default=4)
+    # model
+    p.add_argument("--pretrained_model_name_or_path", type=str, required=True)
+    p.add_argument("--revision", type=str, default=None)
+    p.add_argument("--model_config_name_or_path", type=str, default=None)
+    p.add_argument("--discriminator_config_name_or_path", type=str, default=None)
+    p.add_argument("--non_ema_revision", type=str, default=None)
+    # losses / tmo
+    p.add_argument("--vae_loss", type=str, default="l2", choices=["l1", "l2"])
+    p.add_argument("--bright_tmo", type=str, default="fix_mulog",
+                   choices=["fix_mulog", "hard_clip", "linear_scale"])
+    p.add_argument("--tmo_2446a", action="store_true")
+    p.add_argument("--clip_pixel", action="store_true")
+    p.add_argument("--non_zero_loss", action="store_true")
+    p.add_argument("--timm_model_backend", type=str, default="vgg19")
+    p.add_argument("--timm_model_layers", type=str, default=None)
+    p.add_argument("--timm_model_offset", type=int, default=0)
+    # training
+    p.add_argument("--output_dir", type=str, default="vqgan-lora-model")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--train_batch_size", type=int, default=16)
+    p.add_argument("--num_train_epochs", type=int, default=100)
+    p.add_argument("--max_train_steps", type=int, default=None)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--discr_learning_rate", type=float, default=1e-4)
+    p.add_argument("--scale_lr", action="store_true")
+    p.add_argument("--lr_scheduler", type=str, default="constant")
+    p.add_argument("--discr_lr_scheduler", type=str, default="constant")
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--use_8bit_adam", action="store_true")
+    p.add_argument("--allow_tf32", action="store_true")
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--prediction_type", type=str, default=None)
+    p.add_argument("--mixed_precision", type=str, default=None,
+                   choices=[None, "no", "fp16", "bf16"])
+    p.add_argument("--enable_xformers_memory_efficient_attention",
+                   action="store_true")
+    p.add_argument("--rank", type=int, default=64, dest="lora_rank")
+    # logging / checkpoints / validation
+    p.add_argument("--logging_dir", type=str, default="logs")
+    p.add_argument("--report_to", type=str, default="tensorboard")
+    p.add_argument("--tracker_project_name", type=str, default="gmdx-stage1")
+    p.add_argument("--log_steps", type=int, default=50)
+    p.add_argument("--log_grad_norm_steps", type=int, default=500)
+    p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--val_images_dir", type=str, default=None)
+    p.add_argument("--validation_images", type=str, default=None, nargs="+")
+    p.add_argument("--validation_steps", type=int, default=500)
+    p.add_argument("--debug_mode", action="store_true")
+    p.add_argument("--push_to_hub", action="store_true")
+    p.add_argument("--hub_token", type=str, default=None)
+    p.add_argument("--hub_model_id", type=str, default=None)
+    p.add_argument("--local_rank", type=int,
+                   default=int(os.environ.get("LOCAL_RANK", -1)))
+    args = p.parse_args()
+    if args.train_metadata is None and args.dataset_name is None:
+        p.error("need --train_metadata (parquet) or --dataset_name")
+    return args
+
+
+def choose_tmo(name: str):
+    """Reference choose_tmo (:734-743): --bright_tmo selects the training TMO."""
+    from gmdx.ops import fix_mulog_tmo, hard_clip_tmo, linear_scale_tmo
+
+    return {
+        "fix_mulog": fix_mulog_tmo,
+        "hard_clip": hard_clip_tmo,
+        "linear_scale": linear_scale_tmo,
+    }[name]
+
+
+def log_validation(args, vae, params, step, val_dir):
+    """Reference log_validation (:170-327): encode/decode val PNGs to gain
+    maps, reconstruct HDR at qmax=49, save .hdr + side-by-side previews."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gmdx.io import load_image, save_hdr_image, save_image, to_model_input
+    from gmdx.ops import apply_gm_to_sdr, tmo_cuda
+
+    images = sorted(glob.glob(os.path.join(args.val_images_dir, "*.png")))
+    if not images:
+        return
+    os.makedirs(val_dir, exist_ok=True)
+    key = jax.random.key(args.seed or 0)
+
+    @jax.jit
+    def gm_of(x, k):
+        post = vae.apply({"params": params}, x, method=vae.encode)
+        z = post.sample(k) * 0.18215
+        return jax.nn.sigmoid(
+            vae.apply({"params": params}, z / 0.18215, method=vae.decode)
+        )
+
+    ranges = []
+    for i, path in enumerate(images[:4]):
+        sdr01 = load_image(path, size=(args.resolution, args.resolution))
+        x = jnp.asarray(to_model_input(sdr01))
+        gm = np.asarray(gm_of(x, jax.random.fold_in(key, i))[0])
+        hdr = np.asarray(
+            apply_gm_to_sdr(
+                jnp.asarray(gm), jnp.asarray(sdr01.transpose(2, 0, 1)), qmax=49.0
+            )
+        )
+        processed = np.asarray(tmo_cuda(jnp.asarray(hdr / 10.0) * 10.0))
+        name = f"step{step}_{i}"
+        save_hdr_image(
+            os.path.join(val_dir, f"hdr_{name}.hdr"), hdr.transpose(1, 2, 0),
+            qmax=49.0,
+        )
+        strip = np.concatenate(
+            [sdr01.transpose(2, 0, 1), gm, np.clip(processed, 0, 1)], axis=-1
+        )
+        save_image(os.path.join(val_dir, f"grid_{name}.png"),
+                   strip.transpose(1, 2, 0))
+        ranges.append((float(hdr.min()), float(hdr.max())))
+    with open(os.path.join(val_dir, "evaluation_log.txt"), "a") as f:
+        f.write(f"step {step}: hdr ranges {ranges}\n")
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gmdx.data import ParquetImageDataset, make_dataloader
+    from gmdx.dist import make_mesh, replicate, shard_batch
+    from gmdx.io.pipeline import load_pipeline, save_component, save_pipeline
+    from gmdx.models import Discriminator, LoRAConfig, VGG19Features
+    from gmdx.ops import random_exposure_adjust
+    from gmdx.train import (
+        Stage1Config,
+        init_trainables,
+        make_adamw,
+        make_disc_step,
+        make_gen_step,
+        make_manager,
+        resolve_resume_step,
+        restore_state,
+        save_state,
+    )
+    from gmdx.train.optim import get_lr_schedule
+    from gmdx.train.stage1 import Stage1State, effective_vae_params
+    from gmdx.train.metrics import MetricsLogger
+
+    bundle = load_pipeline(args.pretrained_model_name_or_path)
+    vae = bundle["modules"]["vae"]
+    vae_params = bundle["params"]["vae"]
+    tokenizer = bundle["tokenizer"]
+
+    discriminator = Discriminator()
+    vgg = VGG19Features()
+    res = args.resolution
+    disc_vars = discriminator.init(
+        jax.random.key(1), jnp.zeros((1, 3, res, res))
+    )
+    vgg_params = vgg.init(jax.random.key(2), jnp.zeros((1, 3, 224, 224)))[
+        "params"
+    ]
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    lr, dlr = args.learning_rate, args.discr_learning_rate
+    if args.scale_lr:
+        scale = args.gradient_accumulation_steps * args.train_batch_size * n_dev
+        lr, dlr = lr * scale, dlr * scale
+
+    cfg = Stage1Config(
+        vae_loss=args.vae_loss,
+        lora=LoRAConfig(rank=args.lora_rank, alpha=float(args.lora_rank)),
+        use_ema=args.use_ema,
+    )
+    tmo_fn = choose_tmo(args.bright_tmo)
+
+    dataset = ParquetImageDataset(args.train_metadata)
+    steps_per_epoch = max(1, len(dataset) // (args.train_batch_size * n_dev))
+    max_train_steps = args.max_train_steps or (
+        args.num_train_epochs * steps_per_epoch
+    )
+
+    gen_opt = make_adamw(
+        get_lr_schedule(args.lr_scheduler, lr,
+                        num_warmup_steps=args.lr_warmup_steps,
+                        num_training_steps=max_train_steps),
+        beta1=args.adam_beta1, beta2=args.adam_beta2,
+        weight_decay=args.adam_weight_decay, epsilon=args.adam_epsilon,
+        max_grad_norm=args.max_grad_norm,
+    )
+    disc_opt = make_adamw(
+        get_lr_schedule(args.discr_lr_scheduler, dlr,
+                        num_warmup_steps=args.lr_warmup_steps,
+                        num_training_steps=max_train_steps),
+        beta1=args.adam_beta1, beta2=args.adam_beta2,
+        weight_decay=args.adam_weight_decay, epsilon=args.adam_epsilon,
+        max_grad_norm=args.max_grad_norm,
+    )
+
+    trainables = init_trainables(jax.random.key(args.seed or 0), vae_params, cfg)
+    disc_params = disc_vars["params"]
+    other_vars = {k: v for k, v in disc_vars.items() if k != "params"}
+    from gmdx.train.ema import ema_init
+
+    state = Stage1State(
+        trainables=trainables,
+        disc_params=disc_params,
+        disc_vars=other_vars,
+        opt_state=gen_opt.init(trainables),
+        disc_opt_state=disc_opt.init(disc_params),
+        ema=ema_init(trainables) if args.use_ema else None,
+        step=jnp.zeros((), jnp.int32),
+    )
+    gen_step = make_gen_step(
+        cfg, vae=vae, discriminator=discriminator, vgg=vgg, tmo_fn=tmo_fn,
+        optimizer=gen_opt,
+    )
+    disc_step = make_disc_step(
+        cfg, vae=vae, discriminator=discriminator, tmo_fn=tmo_fn,
+        optimizer=disc_opt,
+    )
+
+    manager = make_manager(args.output_dir,
+                           max_to_keep=args.checkpoints_total_limit)
+    global_step = 0
+    resume_step = resolve_resume_step(args.output_dir, args.resume_from_checkpoint)
+    if resume_step is not None:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+        )
+        state = restore_state(manager, resume_step, abstract)
+        global_step = resume_step
+        logger.info("resumed from checkpoint step %d", resume_step)
+
+    frozen = {"vae": vae_params, "vgg": vgg_params}
+    state = replicate(mesh, state)
+    frozen_dev = replicate(mesh, frozen)
+
+    loader = make_dataloader(
+        dataset, tokenizer,
+        batch_size=args.train_batch_size * n_dev,
+        resolution=args.resolution,
+        center_crop=args.center_crop,
+        seed=args.seed or 0,
+        num_workers=args.dataloader_num_workers,
+        max_samples=args.max_train_samples,
+    )
+
+    metrics_log = MetricsLogger(
+        os.path.join(args.output_dir, args.logging_dir),
+        backend=args.report_to, project=args.tracker_project_name,
+        config=vars(args),
+    )
+    logger.info("***** Running training ***** steps=%d", max_train_steps)
+    if args.clip_pixel:
+        logger.info("Using exposure clip!, prob: 0.7")
+
+    key = jax.random.key(args.seed or 0)
+    t_last = time.time()
+    for i, batch in enumerate(loader):
+        if global_step >= max_train_steps:
+            break
+        key, k_aug, k_step = jax.random.split(key, 3)
+        pixel_values = batch["pixel_values"]
+        if args.clip_pixel:
+            # Host-side exposure-clip augmentation (reference :1104-1109).
+            to_clip = jnp.asarray((pixel_values + 1.0) / 2.0)
+            clipped, _ = random_exposure_adjust(k_aug, to_clip, prob=0.7)
+            miss = np.asarray(clipped) * 2.0 - 1.0
+        else:
+            miss = pixel_values
+        dev_batch = shard_batch(
+            mesh,
+            {"pixel_values": pixel_values, "miss_pixel_values": miss},
+        )
+        # Reference alternation cadence on the dataloader index (:1114).
+        generator_step = ((i // args.gradient_accumulation_steps) % 2) == 0
+        if generator_step:
+            state, m = gen_step(state, frozen_dev, dev_batch, k_step)
+            tag = "gen"
+        else:
+            state, m = disc_step(state, frozen_dev, dev_batch, k_step)
+            tag = "discr"
+        global_step += 1
+
+        if global_step % args.log_steps == 0 or global_step == 1:
+            dt = time.time() - t_last
+            t_last = time.time()
+            scalars = {f"step_{tag}_loss": float(m[f"{tag[:4] if tag == 'gen' else 'disc'}_loss"])
+                       if False else float(m.get("gen_loss", m.get("disc_loss", 0.0)))}
+            scalars["samples_per_sec"] = (
+                args.log_steps * args.train_batch_size * n_dev / dt
+                if global_step > 1 else 0.0
+            )
+            metrics_log.log(global_step, scalars)
+            logger.info("step %d [%s] loss %.5f", global_step, tag,
+                        scalars[f"step_{tag}_loss"])
+        if global_step % args.checkpointing_steps == 0:
+            save_state(manager, global_step, jax.device_get(state))
+        if args.val_images_dir and global_step % args.validation_steps == 0:
+            host_state = jax.device_get(state)
+            eff = effective_vae_params(cfg, vae_params, host_state.trainables)
+            log_validation(args, vae, eff, global_step,
+                           os.path.join(args.output_dir, "validation"))
+
+    # Final artifacts: finetuned_VAE (merged) + discriminator (:1294-1301).
+    host_state = jax.device_get(state)
+    trained = (
+        host_state.ema.shadow if host_state.ema is not None
+        else host_state.trainables
+    )
+    eff = effective_vae_params(cfg, vae_params, trained)
+    save_pipeline(
+        os.path.join(args.output_dir, "finetuned_VAE"),
+        components={"vae": (vae, eff)},
+        tokenizer=tokenizer,
+    )
+    save_component(
+        os.path.join(args.output_dir, "discriminator"),
+        {"depth": discriminator.depth,
+         "hidden_channels": discriminator.hidden_channels},
+        {"params": host_state.disc_params, **host_state.disc_vars},
+        "Discriminator",
+    )
+    metrics_log.close()
+    logger.info("training complete; artifacts in %s", args.output_dir)
+
+
+if __name__ == "__main__":
+    main()

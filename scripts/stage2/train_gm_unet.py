@@ -1,0 +1,375 @@
+"""Stage-2 GM-UNet trainer CLI (reference scripts/stage2/train_gm_unet.py,
+same flag surface; SURVEY.md C11).
+
+Pipeline: parquet metadata (columns sdr/gainmap/text) → paired host
+transforms → jitted train step (VAE-encode both, ε-prediction MSE on the GM
+latents, AdamW, EMA) data-parallel over a ``data`` mesh → orbax checkpoints →
+periodic validation through the single-UNet GM pipeline (PNDM, 49 steps,
+reference log_validation :159-285) → final save as a complete pipeline dir.
+
+Flags parsed but inert in the reference are IMPLEMENTED here where they are
+real features (--snr_gamma, min-SNR weighting) and rejected loudly where they
+were dead (--dream_training, --use_x0_conditioning) instead of silently
+ignored — SURVEY.md §5.6.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import math
+import os
+import time
+
+logger = logging.getLogger("gmdx.stage2")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Stage-2 GM-UNet training.")
+    # data
+    p.add_argument("--dataset_name", type=str, default=None)
+    p.add_argument("--dataset_config_name", type=str, default=None)
+    p.add_argument("--dataset_cache_dir", type=str, default=None)
+    p.add_argument("--cache_dir", type=str, default=None)
+    p.add_argument("--train_data_dir", type=str, default=None)
+    p.add_argument("--train_metadata", type=str, default=None,
+                   help="parquet file(s) with columns sdr/gainmap/text")
+    p.add_argument("--image_column", type=str, default="sdr")
+    p.add_argument("--caption_column", type=str, default="text")
+    p.add_argument("--max_train_samples", type=int, default=None)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--center_crop", action="store_true")
+    p.add_argument("--random_flip", action="store_true")
+    p.add_argument("--dataloader_num_workers", type=int, default=4)
+    # model
+    p.add_argument("--pretrained_model_name_or_path", type=str, required=True,
+                   help="gmdx pipeline dir with unet/vae/text_encoder/tokenizer")
+    p.add_argument("--revision", type=str, default=None)
+    p.add_argument("--variant", type=str, default=None)
+    p.add_argument("--non_ema_revision", type=str, default=None)
+    p.add_argument("--scheduler_config", type=str, default=None,
+                   help="override scheduler config dir for validation")
+    # training
+    p.add_argument("--output_dir", type=str, default="gm-unet-model")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--train_batch_size", type=int, default=16)
+    p.add_argument("--num_train_epochs", type=int, default=100)
+    p.add_argument("--max_train_steps", type=int, default=None)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--scale_lr", action="store_true")
+    p.add_argument("--lr_scheduler", type=str, default="constant")
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--snr_gamma", type=float, default=None)
+    p.add_argument("--dream_training", action="store_true")
+    p.add_argument("--dream_detail_preservation", type=float, default=1.0)
+    p.add_argument("--use_x0_conditioning", action="store_true")
+    p.add_argument("--use_8bit_adam", action="store_true")
+    p.add_argument("--allow_tf32", action="store_true")
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--offload_ema", action="store_true")
+    p.add_argument("--foreach_ema", action="store_true")
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--prediction_type", type=str, default=None)
+    p.add_argument("--noise_offset", type=float, default=0.0)
+    p.add_argument("--input_perturbation", type=float, default=0.0)
+    p.add_argument("--mixed_precision", type=str, default=None,
+                   choices=[None, "no", "fp16", "bf16"])
+    p.add_argument("--enable_xformers_memory_efficient_attention",
+                   action="store_true")
+    # logging / checkpoints / validation
+    p.add_argument("--logging_dir", type=str, default="logs")
+    p.add_argument("--report_to", type=str, default="tensorboard")
+    p.add_argument("--tracker_project_name", type=str, default="gmdx-stage2")
+    p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--validation_prompts", type=str, default=None, nargs="+")
+    p.add_argument("--validation_prompt_file", type=str, default=None)
+    p.add_argument("--validation_image_dir", type=str, default=None)
+    p.add_argument("--validation_epochs", type=int, default=5)
+    p.add_argument("--push_to_hub", action="store_true")
+    p.add_argument("--hub_token", type=str, default=None)
+    p.add_argument("--hub_model_id", type=str, default=None)
+    p.add_argument("--local_rank", type=int,
+                   default=int(os.environ.get("LOCAL_RANK", -1)))
+    args = p.parse_args()
+
+    if args.dream_training or args.use_x0_conditioning:
+        # Dead flags in the reference (parsed, never used in the loss path —
+        # train_gm_unet.py:431-510 vs :1192). Reject instead of silently no-op.
+        p.error(
+            "--dream_training/--use_x0_conditioning are not implemented "
+            "(they are dead flags in the reference, SURVEY.md C11)"
+        )
+    if args.train_metadata is None and args.dataset_name is None:
+        p.error("need --train_metadata (parquet) or --dataset_name")
+    return args
+
+
+def log_validation(args, pipe, params, step, val_dir):
+    """Reference log_validation (:159-285): PNDM 49 steps per prompt + SDR
+    image, decode GM, reconstruct HDR, save previews."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gmdx.io import load_image, save_hdr_image, save_image, to_model_input
+    from gmdx.ops import apply_gm_to_sdr
+
+    os.makedirs(val_dir, exist_ok=True)
+    prompts = args.validation_prompts or ["high dynamic range photograph"]
+    import glob as _glob
+
+    images = (
+        sorted(_glob.glob(os.path.join(args.validation_image_dir, "*.png")))
+        if args.validation_image_dir
+        else []
+    )
+    if not images:
+        logger.info("validation: no images, skipping")
+        return
+    key = jax.random.key(args.seed or 0)
+    for i, img_path in enumerate(images[:4]):
+        sdr01 = load_image(img_path, size=(args.resolution, args.resolution))
+        sdr_in = jnp.asarray(to_model_input(sdr01))
+        k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+        sdr_latent = pipe.encode_sdr(params, sdr_in, k1)
+        gm_latent = pipe(
+            params, sdr_latent, prompts[i % len(prompts)], key=k2,
+            num_inference_steps=49, output_type="latent",
+        )
+        gm01 = np.clip(
+            np.asarray(pipe.decode_latents(params, gm_latent)[0]) / 2 + 0.5, 0, 1
+        )
+        name = f"step{step}_{i}"
+        save_image(os.path.join(val_dir, f"gm_{name}.png"), gm01.transpose(1, 2, 0))
+        hdr = np.asarray(
+            apply_gm_to_sdr(
+                jnp.asarray(gm01),
+                jnp.asarray(sdr01.transpose(2, 0, 1)),
+                qmax=49.0,
+            )
+        )
+        save_hdr_image(
+            os.path.join(val_dir, f"hdr_{name}.hdr"), hdr.transpose(1, 2, 0),
+            qmax=49.0,
+        )
+    logger.info("validation images written to %s", val_dir)
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gmdx.data import ParquetImageDataset, make_dataloader
+    from gmdx.dist import make_mesh, replicate, shard_batch
+    from gmdx.io.pipeline import load_pipeline, save_pipeline
+    from gmdx.models import inflate_conv_in
+    from gmdx.pipelines import StableDiffusionGMPipeline
+    from gmdx.schedulers import DDPMScheduler, PNDMScheduler
+    from gmdx.train import (
+        Stage2Config,
+        init_state,
+        make_manager,
+        make_optimizer,
+        make_train_step,
+        resolve_resume_step,
+        restore_state,
+        save_state,
+    )
+    from gmdx.train.metrics import MetricsLogger
+
+    if args.seed is not None:
+        np.random.seed(args.seed)
+
+    bundle = load_pipeline(args.pretrained_model_name_or_path)
+    unet = bundle["modules"]["unet"]
+    unet_params = bundle["params"]["unet"]
+    vae = bundle["modules"]["vae"]
+    text = bundle["modules"]["text_encoder"]
+    tokenizer = bundle["tokenizer"]
+
+    # Inflate a vanilla 4-ch UNet to the 8-ch GM UNet (reference
+    # _replace_unet_conv_in, train_gm_unet.py:658-677).
+    if unet.config.in_channels == 4:
+        from gmdx.models import UNet2DConditionModel
+
+        unet = UNet2DConditionModel(
+            dataclasses.replace(unet.config, in_channels=8)
+        )
+        unet_params = inflate_conv_in(unet_params, 8, scale=0.5)
+        logger.info("inflated conv_in 4 -> 8 channels")
+
+    frozen = {
+        "vae": bundle["params"]["vae"],
+        "text_encoder": bundle["params"]["text_encoder"],
+    }
+
+    lr = args.learning_rate
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    if args.scale_lr:
+        lr = lr * args.gradient_accumulation_steps * args.train_batch_size * n_dev
+
+    dataset = ParquetImageDataset(args.train_metadata)
+    steps_per_epoch = max(
+        1, len(dataset) // (args.train_batch_size * max(1, n_dev))
+    )
+    max_train_steps = args.max_train_steps or (
+        args.num_train_epochs * steps_per_epoch
+    )
+
+    cfg = Stage2Config(
+        learning_rate=lr,
+        lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        max_train_steps=max_train_steps,
+        adam_beta1=args.adam_beta1,
+        adam_beta2=args.adam_beta2,
+        adam_weight_decay=args.adam_weight_decay,
+        adam_epsilon=args.adam_epsilon,
+        max_grad_norm=args.max_grad_norm,
+        noise_offset=args.noise_offset,
+        input_perturbation=args.input_perturbation,
+        snr_gamma=args.snr_gamma,
+        prediction_type=args.prediction_type or "epsilon",
+        use_ema=args.use_ema,
+        weight_dtype=jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32,
+    )
+    optimizer = make_optimizer(cfg)
+    state = init_state(cfg, unet_params, optimizer)
+    train_step = make_train_step(
+        cfg, unet=unet, vae=vae, text_encoder=text,
+        noise_scheduler=DDPMScheduler(), optimizer=optimizer,
+    )
+
+    manager = make_manager(
+        args.output_dir, max_to_keep=args.checkpoints_total_limit
+    )
+    global_step = 0
+    resume_step = resolve_resume_step(args.output_dir, args.resume_from_checkpoint)
+    if resume_step is not None:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+        )
+        state = restore_state(manager, resume_step, abstract)
+        global_step = resume_step
+        logger.info("resumed from checkpoint step %d", resume_step)
+    elif args.resume_from_checkpoint:
+        logger.warning(
+            "checkpoint '%s' does not exist. starting a new training run",
+            args.resume_from_checkpoint,
+        )
+
+    loader = make_dataloader(
+        dataset,
+        tokenizer,
+        batch_size=args.train_batch_size * n_dev,
+        resolution=args.resolution,
+        center_crop=args.center_crop,
+        seed=args.seed or 0,
+        num_workers=args.dataloader_num_workers,
+        max_samples=args.max_train_samples,
+    )
+
+    state = replicate(mesh, state)
+    frozen_dev = replicate(mesh, frozen)
+    metrics_log = MetricsLogger(
+        os.path.join(args.output_dir, args.logging_dir),
+        backend=args.report_to,
+        project=args.tracker_project_name,
+        config=vars(args),
+    )
+
+    logger.info(
+        "***** Running training ***** steps=%d batch=%dx%d",
+        max_train_steps, args.train_batch_size, n_dev,
+    )
+    key = jax.random.key(args.seed or 0)
+    t_last = time.time()
+    for batch in loader:
+        if global_step >= max_train_steps:
+            break
+        key, k_step = jax.random.split(key)
+        dev_batch = shard_batch(
+            mesh,
+            {
+                "sdr": batch["pixel_values"],
+                "gm": batch["gainmap_values"],
+                "input_ids": batch["input_ids"],
+            },
+        )
+        state, m = train_step(state, frozen_dev, dev_batch, k_step)
+        global_step += 1
+
+        if global_step % 10 == 0 or global_step == 1:
+            loss = float(m["loss"])
+            dt = time.time() - t_last
+            t_last = time.time()
+            sps = 10 * args.train_batch_size * n_dev / dt if global_step > 1 else 0
+            metrics_log.log(
+                global_step,
+                {"train_loss": loss, "grad_norm": float(m["grad_norm"]),
+                 "samples_per_sec": sps},
+            )
+            logger.info(
+                "step %d loss %.5f grad %.3f %.1f samples/s",
+                global_step, loss, float(m["grad_norm"]), sps,
+            )
+        if global_step % args.checkpointing_steps == 0:
+            save_state(manager, global_step, jax.device_get(state))
+            logger.info("saved state to checkpoint-%d", global_step)
+        if (
+            args.validation_image_dir
+            and global_step % (args.validation_epochs * steps_per_epoch) == 0
+        ):
+            host_state = jax.device_get(state)
+            pipe = StableDiffusionGMPipeline(
+                unet, vae, text, tokenizer, PNDMScheduler()
+            )
+            val_params = {
+                "unet": (
+                    host_state.ema.shadow if host_state.ema is not None
+                    else host_state.params
+                ),
+                **frozen,
+            }
+            log_validation(
+                args, pipe, val_params, global_step,
+                os.path.join(args.output_dir, "validation"),
+            )
+
+    # Final save as a complete GM pipeline (reference :1277-1295).
+    host_state = jax.device_get(state)
+    final_unet_params = (
+        host_state.ema.shadow if host_state.ema is not None else host_state.params
+    )
+    save_pipeline(
+        os.path.join(args.output_dir, "save_pipeline"),
+        components={
+            "unet": (unet, final_unet_params),
+            "vae": (vae, frozen["vae"]),
+            "text_encoder": (text, frozen["text_encoder"]),
+        },
+        tokenizer=tokenizer,
+        scheduler=PNDMScheduler(),
+    )
+    metrics_log.close()
+    logger.info("training complete; pipeline saved to %s/save_pipeline",
+                args.output_dir)
+
+
+if __name__ == "__main__":
+    main()

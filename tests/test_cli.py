@@ -1,0 +1,193 @@
+"""End-to-end CLI smoke tests: init a tiny pipeline, train both stages for a
+few steps, run Stage-3 inference, and validate every artifact — the full
+reference workflow (README.md:82-130) in miniature.
+
+Each CLI runs in a subprocess (proving the argparse surface + imports work
+from a cold start) pinned to CPU before the script imports jax internals.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_script(script, argv, timeout=900):
+    """Run a repo script in a CPU-pinned subprocess."""
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import sys, runpy; "
+        f"sys.argv = [{script!r}] + {argv!r}; "
+        f"runpy.run_path({os.path.join(REPO, script)!r}, run_name='__main__')"
+    )
+    return subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=REPO,
+    )
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    # Tiny pipeline (dual: unet + gm_unet + vae + text + tokenizer + pndm).
+    r = run_script(
+        "scripts/tools/init_pipeline.py",
+        ["--output_dir", str(root / "pipe"), "--size", "tiny", "--dual"],
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    # Synthetic SDR/GM parquet dataset (64x64). 32 pairs: the subprocess
+    # inherits the 8-device virtual CPU mesh, so the global batch is
+    # train_batch_size x 8.
+    rng = np.random.default_rng(0)
+    sdr_paths, gm_bytes, texts = [], [], []
+    data_dir = root / "data"
+    data_dir.mkdir()
+    import io as _io
+
+    for i in range(32):
+        sdr = Image.fromarray(
+            rng.integers(0, 255, (64, 64, 3), dtype=np.uint8), "RGB"
+        )
+        p = str(data_dir / f"sdr_{i}.png")
+        sdr.save(p)
+        gm = Image.fromarray(
+            rng.integers(0, 255, (64, 64, 3), dtype=np.uint8), "RGB"
+        )
+        buf = _io.BytesIO()
+        gm.save(buf, format="PNG")
+        sdr_paths.append(p)
+        gm_bytes.append(buf.getvalue())
+        texts.append(f"test caption {i}")
+
+    from gmdx.data.parquet import write_parquet_dataset
+
+    meta = str(root / "train.parquet")
+    write_parquet_dataset(meta, sdr_paths, gm_bytes, texts)
+    return root, meta, str(data_dir)
+
+
+class TestStage2CLI:
+    def test_train_and_artifacts(self, workdir):
+        root, meta, data_dir = workdir
+        out = str(root / "s2out")
+        r = run_script(
+            "scripts/stage2/train_gm_unet.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--train_metadata", meta,
+                "--output_dir", out,
+                "--resolution", "64",
+                "--train_batch_size", "2",
+                "--max_train_steps", "3",
+                "--checkpointing_steps", "2",
+                "--learning_rate", "1e-4",
+                "--seed", "0",
+                "--use_ema",
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        # Orbax checkpoint written + complete pipeline saved.
+        assert os.path.isdir(os.path.join(out, "checkpoint_2"))
+        assert os.path.isdir(os.path.join(out, "save_pipeline", "unet"))
+        index = json.load(
+            open(os.path.join(out, "save_pipeline", "model_index.json"))
+        )
+        assert set(index["components"]) >= {
+            "unet", "vae", "text_encoder", "tokenizer", "scheduler"
+        }
+        # Saved unet is the 8-channel GM variant.
+        cfg = json.load(
+            open(os.path.join(out, "save_pipeline", "unet", "config.json"))
+        )
+        assert cfg["in_channels"] == 8
+        # Metrics JSONL has train_loss records.
+        lines = open(
+            os.path.join(out, "logs", "metrics.jsonl")
+        ).read().strip().splitlines()
+        assert any("train_loss" in l for l in lines)
+
+    def test_dead_flags_rejected(self, workdir):
+        root, meta, _ = workdir
+        r = run_script(
+            "scripts/stage2/train_gm_unet.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--train_metadata", meta,
+                "--dream_training",
+            ],
+        )
+        assert r.returncode != 0
+        assert "dead flags" in r.stderr
+
+
+class TestStage3CLI:
+    def test_generate_hdr(self, workdir):
+        root, meta, data_dir = workdir
+        out = str(root / "s3out")
+        r = run_script(
+            "scripts/inference/generate_hdr.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--unet_ckpt", str(root / "s2out" / "save_pipeline"),
+                "--sdr_input_path", data_dir,
+                "--output_dir", out,
+                "--resolution", "64",
+                "--num_inference_steps", "2",
+                "--seed", "42",
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        names = sorted(os.listdir(out))
+        assert any(n.startswith("sdr_") for n in names)
+        assert any(n.startswith("gm_") for n in names)
+        hdrs = [n for n in names if n.endswith(".hdr")]
+        assert len(hdrs) >= 2  # decoded + original variants
+        # .hdr files are readable by an external consumer (cv2).
+        import cv2
+
+        img = cv2.imread(
+            os.path.join(out, hdrs[0]), cv2.IMREAD_ANYDEPTH | cv2.IMREAD_COLOR
+        )
+        assert img is not None and np.isfinite(img).all()
+
+
+class TestStage1CLI:
+    def test_train_and_artifacts(self, workdir):
+        root, meta, data_dir = workdir
+        out = str(root / "s1out")
+        r = run_script(
+            "scripts/stage1/train_vqgan_lora.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--train_metadata", meta,
+                "--output_dir", out,
+                "--resolution", "64",
+                "--train_batch_size", "1",
+                "--max_train_steps", "2",  # one gen + one disc step
+                "--checkpointing_steps", "2",
+                "--rank", "2",
+                "--seed", "0",
+                "--clip_pixel",
+                "--val_images_dir", data_dir,
+                "--validation_steps", "2",
+            ],
+            timeout=1200,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert os.path.isdir(os.path.join(out, "finetuned_VAE", "vae"))
+        assert os.path.isdir(os.path.join(out, "discriminator"))
+        assert os.path.isdir(os.path.join(out, "checkpoint_2"))
+        # Validation wrote .hdr + grid previews + the range log.
+        val = os.path.join(out, "validation")
+        assert any(n.endswith(".hdr") for n in os.listdir(val))
+        assert os.path.exists(os.path.join(val, "evaluation_log.txt"))

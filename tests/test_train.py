@@ -1,0 +1,268 @@
+"""Training-stack tests: EMA math, LR schedules, checkpoints, and full jitted
+train steps (Stage 1 GAN alternation + Stage 2 ε-prediction) on tiny configs,
+including the data-parallel path over the 8-device virtual CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gmdx.dist import make_mesh, replicate, shard_batch
+from gmdx.models import (
+    AutoencoderKL,
+    CLIPTextModel,
+    Discriminator,
+    LoRAConfig,
+    TINY_CLIP_CONFIG,
+    TINY_UNET_CONFIG,
+    TINY_VAE_CONFIG,
+    UNet2DConditionModel,
+    VGG19Features,
+)
+from gmdx.ops import fix_mulog_tmo
+from gmdx.schedulers import DDPMScheduler
+from gmdx.train import (
+    EMAConfig,
+    Stage1Config,
+    Stage2Config,
+    ema_init,
+    ema_update,
+    get_lr_schedule,
+    init_state,
+    init_trainables,
+    make_adamw,
+    make_disc_step,
+    make_gen_step,
+    make_manager,
+    make_optimizer,
+    make_train_step,
+    resolve_resume_step,
+    restore_state,
+    save_state,
+)
+from gmdx.train.ema import ema_decay_for_step
+
+
+class TestEMA:
+    def test_decay_ramp(self):
+        cfg = EMAConfig()
+        d1 = float(ema_decay_for_step(cfg, jnp.array(1)))
+        d1000 = float(ema_decay_for_step(cfg, jnp.array(1000)))
+        assert 0.0 < d1 < d1000 <= cfg.max_decay
+
+    def test_update_moves_toward_params(self):
+        params = {"w": jnp.ones((4,))}
+        state = ema_init({"w": jnp.zeros((4,))})
+        state = ema_update(EMAConfig(), state, params)
+        assert state.step == 1
+        assert 0.0 < float(state.shadow["w"][0]) < 1.0
+
+
+class TestLRSchedules:
+    def test_constant_and_warmup(self):
+        s = get_lr_schedule("constant", 1e-4)
+        assert float(s(0)) == pytest.approx(1e-4)
+        s = get_lr_schedule("constant_with_warmup", 1e-4, num_warmup_steps=10)
+        assert float(s(0)) == pytest.approx(1e-5)
+        assert float(s(9)) == pytest.approx(1e-4)
+        assert float(s(100)) == pytest.approx(1e-4)
+
+    def test_linear_decays_to_zero(self):
+        s = get_lr_schedule("linear", 1.0, num_training_steps=100)
+        assert float(s(0)) == pytest.approx(1.0, rel=1e-2)
+        assert float(s(100)) == pytest.approx(0.0, abs=1e-6)
+
+    def test_cosine_shape(self):
+        s = get_lr_schedule("cosine", 1.0, num_training_steps=100)
+        assert float(s(0)) == pytest.approx(1.0, rel=1e-2)
+        assert float(s(50)) == pytest.approx(0.5, abs=0.05)
+        assert float(s(100)) == pytest.approx(0.0, abs=1e-6)
+
+
+class TestCheckpoint:
+    def test_save_restore_prune_latest(self, tmp_path):
+        out = str(tmp_path / "ckpts")
+        mgr = make_manager(out, max_to_keep=2)
+        state = {"w": jnp.arange(4, dtype=jnp.float32), "step": jnp.array(0)}
+        for step in (10, 20, 30):
+            state["step"] = jnp.array(step)
+            save_state(mgr, step, state)
+        # keep-2 pruning: step 10 gone.
+        assert sorted(mgr.all_steps()) == [20, 30]
+        assert resolve_resume_step(out, "latest") == 30
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+        )
+        restored = restore_state(mgr, 30, abstract)
+        assert int(restored["step"]) == 30
+        np.testing.assert_array_equal(restored["w"], state["w"])
+
+    def test_resolve_paths(self, tmp_path):
+        assert resolve_resume_step(str(tmp_path), None) is None
+        assert resolve_resume_step(str(tmp_path), "latest") is None
+        assert resolve_resume_step(str(tmp_path), "/x/checkpoint-500") == 500
+        assert resolve_resume_step(str(tmp_path), "123") == 123
+
+
+@pytest.fixture(scope="module")
+def stage2_setup():
+    unet_cfg = dataclasses.replace(TINY_UNET_CONFIG, in_channels=8)
+    unet = UNet2DConditionModel(unet_cfg)
+    vae = AutoencoderKL(TINY_VAE_CONFIG)
+    text = CLIPTextModel(TINY_CLIP_CONFIG)
+    unet_params = unet.init(
+        jax.random.key(0), jnp.zeros((1, 8, 8, 8)), jnp.array(1.0),
+        jnp.zeros((1, 77, 32)),
+    )["params"]
+    frozen = {
+        "vae": vae.init(
+            jax.random.key(1), jnp.zeros((1, 3, 16, 16)), jax.random.key(2)
+        )["params"],
+        "text_encoder": text.init(
+            jax.random.key(3), jnp.zeros((1, 77), jnp.int32)
+        )["params"],
+    }
+    batch = {
+        "sdr": jax.random.uniform(jax.random.key(4), (2, 3, 16, 16)) * 2 - 1,
+        "gm": jax.random.uniform(jax.random.key(5), (2, 3, 16, 16)) * 2 - 1,
+        "input_ids": jnp.ones((2, 77), jnp.int32),
+    }
+    return unet, vae, text, unet_params, frozen, batch
+
+
+class TestStage2:
+    def test_train_step_descends(self, stage2_setup):
+        unet, vae, text, unet_params, frozen, batch = stage2_setup
+        cfg = Stage2Config(learning_rate=1e-3, use_ema=True)
+        opt = make_optimizer(cfg)
+        state = init_state(cfg, unet_params, opt)
+        step = make_train_step(
+            cfg, unet=unet, vae=vae, text_encoder=text,
+            noise_scheduler=DDPMScheduler(), optimizer=opt, donate=False,
+        )
+        state, m1 = step(state, frozen, batch, jax.random.key(0))
+        assert np.isfinite(float(m1["loss"]))
+        assert float(m1["grad_norm"]) > 0
+        assert int(state.step) == 1
+        assert state.ema is not None and int(state.ema.step) == 1
+        # Same batch+key again: loss should drop after one update.
+        state, m2 = step(state, frozen, batch, jax.random.key(0))
+        assert float(m2["loss"]) < float(m1["loss"])
+
+    def test_snr_gamma_changes_loss(self, stage2_setup):
+        unet, vae, text, unet_params, frozen, batch = stage2_setup
+        losses = {}
+        for gamma in (None, 5.0):
+            cfg = Stage2Config(snr_gamma=gamma)
+            opt = make_optimizer(cfg)
+            state = init_state(cfg, unet_params, opt)
+            step = make_train_step(
+                cfg, unet=unet, vae=vae, text_encoder=text,
+                optimizer=opt, donate=False,
+            )
+            _, m = step(state, frozen, batch, jax.random.key(0))
+            losses[gamma] = float(m["loss"])
+        assert losses[None] != losses[5.0]
+
+    def test_data_parallel_matches_single(self, stage2_setup):
+        """The sharded step over the 8-device mesh must produce the same loss
+        as the unsharded one (same global batch, deterministic key)."""
+        unet, vae, text, unet_params, frozen, batch = stage2_setup
+        cfg = Stage2Config()
+        opt = make_optimizer(cfg)
+        state = init_state(cfg, unet_params, opt)
+        step = make_train_step(
+            cfg, unet=unet, vae=vae, text_encoder=text,
+            optimizer=opt, donate=False,
+        )
+        big_batch = jax.tree.map(
+            lambda x: jnp.concatenate([x] * 4, axis=0), batch
+        )  # batch 8
+        _, m_single = step(state, frozen, big_batch, jax.random.key(0))
+
+        mesh = make_mesh(8)
+        sharded_batch = shard_batch(mesh, big_batch)
+        r_state = replicate(mesh, state)
+        r_frozen = replicate(mesh, frozen)
+        _, m_shard = step(r_state, r_frozen, sharded_batch, jax.random.key(0))
+        np.testing.assert_allclose(
+            float(m_shard["loss"]), float(m_single["loss"]), rtol=1e-4
+        )
+
+
+class TestStage1:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        vae = AutoencoderKL(TINY_VAE_CONFIG)
+        disc = Discriminator(depth=4, hidden_channels=64)
+        vgg = VGG19Features()
+        vae_params = vae.init(
+            jax.random.key(0), jnp.zeros((1, 3, 16, 16)), jax.random.key(1)
+        )["params"]
+        disc_vars = disc.init(jax.random.key(2), jnp.zeros((1, 3, 16, 16)))
+        vgg_params = vgg.init(jax.random.key(3), jnp.zeros((1, 3, 32, 32)))[
+            "params"
+        ]
+        cfg = Stage1Config(lora=LoRAConfig(rank=2, alpha=2.0))
+        trainables = init_trainables(jax.random.key(4), vae_params, cfg)
+        from gmdx.train.stage1 import Stage1State
+
+        opt = make_adamw(get_lr_schedule("constant", 1e-4))
+        disc_opt = make_adamw(get_lr_schedule("constant", 1e-4))
+        disc_params = disc_vars["params"]
+        other_vars = {k: v for k, v in disc_vars.items() if k != "params"}
+        state = Stage1State(
+            trainables=trainables,
+            disc_params=disc_params,
+            disc_vars=other_vars,
+            opt_state=opt.init(trainables),
+            disc_opt_state=disc_opt.init(disc_params),
+            ema=None,
+            step=jnp.zeros((), jnp.int32),
+        )
+        frozen = {"vae": vae_params, "vgg": vgg_params}
+        batch = {
+            "pixel_values": jax.random.uniform(jax.random.key(6), (2, 3, 16, 16))
+            * 2 - 1,
+            "miss_pixel_values": jax.random.uniform(
+                jax.random.key(7), (2, 3, 16, 16)
+            ) * 2 - 1,
+        }
+        return cfg, vae, disc, vgg, opt, disc_opt, state, frozen, batch
+
+    def test_gen_step(self, setup):
+        cfg, vae, disc, vgg, opt, disc_opt, state, frozen, batch = setup
+        gen_step = make_gen_step(
+            cfg, vae=vae, discriminator=disc, vgg=vgg,
+            tmo_fn=fix_mulog_tmo, optimizer=opt, donate=False,
+        )
+        new_state, m = gen_step(state, frozen, batch, jax.random.key(0))
+        for k in ("gen_loss", "recon", "perceptual", "adversarial",
+                  "adaptive_weight", "grad_norm"):
+            assert np.isfinite(float(m[k])), k
+        assert float(m["grad_norm"]) > 0
+        assert float(m["adaptive_weight"]) <= cfg.adaptive_weight_max
+        # LoRA factors actually moved.
+        moved = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.trainables, new_state.trainables,
+        )
+        assert max(jax.tree.leaves(moved)) > 0
+
+    def test_disc_step(self, setup):
+        cfg, vae, disc, vgg, opt, disc_opt, state, frozen, batch = setup
+        disc_step = make_disc_step(
+            cfg, vae=vae, discriminator=disc, tmo_fn=fix_mulog_tmo,
+            optimizer=disc_opt, donate=False,
+        )
+        new_state, m = disc_step(state, frozen, batch, jax.random.key(0))
+        assert np.isfinite(float(m["disc_loss"]))
+        assert float(m["gp"]) >= 0
+        # Generator trainables untouched by the D step.
+        same = jax.tree.map(
+            lambda a, b: bool((a == b).all()),
+            state.trainables, new_state.trainables,
+        )
+        assert all(jax.tree.leaves(same))
