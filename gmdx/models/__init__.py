@@ -25,6 +25,14 @@ from gmdx.models.discriminator import Discriminator
 from gmdx.models.vgg import VGG19Features, perceptual_loss, resize_for_vgg
 from gmdx.models.vae import VAEConfig
 from gmdx.models.clip_text import CLIPTextConfig
+from gmdx.models.controlnet import (
+    ControlNetModel,
+    ControlNetConfig,
+    ConditioningEmbedding,
+    SD15_CONTROLNET_CONFIG,
+    TINY_CONTROLNET_CONFIG,
+    controlnet_params_from_unet,
+)
 from gmdx.models.lora import (
     LoRAConfig,
     init_lora_params,
@@ -54,6 +62,12 @@ __all__ = [
     "CLIPTokenizer",
     "Discriminator",
     "VGG19Features",
+    "ControlNetModel",
+    "ControlNetConfig",
+    "ConditioningEmbedding",
+    "SD15_CONTROLNET_CONFIG",
+    "TINY_CONTROLNET_CONFIG",
+    "controlnet_params_from_unet",
     "LoRAConfig",
     "init_lora_params",
     "apply_lora",

@@ -83,7 +83,12 @@ class UNet2DConditionModel(nn.Module):
         sample: Array,  # (B, C_in, H, W) — NCHW boundary
         timesteps: Array,  # () or (B,)
         encoder_hidden_states: Array,  # (B, S, cross_attention_dim)
+        down_block_additional_residuals: Optional[Tuple[Array, ...]] = None,
+        mid_block_additional_residual: Optional[Array] = None,
     ) -> Array:
+        """ControlNet hooks: the additional residuals (NHWC, one per skip +
+        one for the mid state) are added exactly where diffusers adds them —
+        to each stored skip and to the mid-block output."""
         cfg = self.config
         x = jnp.transpose(sample, (0, 2, 3, 1)).astype(self.dtype)
         context = encoder_hidden_states.astype(self.dtype)
@@ -149,6 +154,19 @@ class UNet2DConditionModel(nn.Module):
             name="mid_attn",
         )(h, context)
         h = ResnetBlock2D(mid_ch, dtype=self.dtype, name="mid_resnet_1")(h, temb)
+
+        if down_block_additional_residuals is not None:
+            if len(down_block_additional_residuals) != len(skips):
+                raise ValueError(
+                    f"expected {len(skips)} down residuals, got "
+                    f"{len(down_block_additional_residuals)}"
+                )
+            skips = [
+                s + r.astype(s.dtype)
+                for s, r in zip(skips, down_block_additional_residuals)
+            ]
+        if mid_block_additional_residual is not None:
+            h = h + mid_block_additional_residual.astype(h.dtype)
 
         # --- up ---
         rev_channels = tuple(reversed(cfg.block_out_channels))

@@ -9,10 +9,16 @@ from gmdx.pipelines.dual import (
     StableDiffusionDualUNetPipeline,
     StableDiffusionDualUNetImprovedPipeline,
 )
+from gmdx.pipelines.controlnet import (
+    StableDiffusionControlNetHDRPipeline,
+    upconvert_sdr_to_hdrtv,
+)
 
 __all__ = [
     "StableDiffusionGMPipeline",
     "StableDiffusionDualUNetPipeline",
     "StableDiffusionDualUNetImprovedPipeline",
+    "StableDiffusionControlNetHDRPipeline",
+    "upconvert_sdr_to_hdrtv",
     "rescale_noise_cfg",
 ]

@@ -1,0 +1,204 @@
+"""ControlNet tests: zero-init no-op property, conditioning effectiveness,
+encoder-copy init, and the SDR→HDRTV up-conversion path."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gmdx.models import (
+    AutoencoderKL,
+    CLIPTextModel,
+    CLIPTokenizer,
+    ControlNetModel,
+    TINY_CLIP_CONFIG,
+    TINY_CONTROLNET_CONFIG,
+    TINY_UNET_CONFIG,
+    TINY_VAE_CONFIG,
+    UNet2DConditionModel,
+    controlnet_params_from_unet,
+)
+from gmdx.pipelines import (
+    StableDiffusionControlNetHDRPipeline,
+    upconvert_sdr_to_hdrtv,
+)
+from gmdx.schedulers import PNDMScheduler
+
+LAT = (1, 4, 4, 4)
+IMG = (1, 3, 32, 32)  # embedder downsamples 8x: 32 -> 4 (the latent grid)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    unet = UNet2DConditionModel(TINY_UNET_CONFIG)
+    cnet = ControlNetModel(TINY_CONTROLNET_CONFIG)
+    x = jnp.zeros(LAT)
+    ctx = jnp.zeros((1, 7, 32))
+    ctrl = jnp.zeros(IMG)
+    unet_params = unet.init(jax.random.key(0), x, jnp.array(1.0), ctx)["params"]
+    cnet_params = cnet.init(
+        jax.random.key(1), x, jnp.array(1.0), ctx, ctrl
+    )["params"]
+    return unet, cnet, unet_params, cnet_params
+
+
+class TestControlNetModel:
+    def test_zero_init_is_noop(self, setup):
+        """Fresh ControlNet (zero output convs) must not change the UNet."""
+        unet, cnet, unet_params, cnet_params = setup
+        x = jax.random.normal(jax.random.key(2), LAT)
+        ctx = jax.random.normal(jax.random.key(3), (1, 7, 32))
+        ctrl = jax.random.uniform(jax.random.key(4), IMG)
+        down, mid = cnet.apply(
+            {"params": cnet_params}, x, jnp.array(5.0), ctx, ctrl
+        )
+        assert all(float(jnp.abs(d).max()) == 0.0 for d in down)
+        assert float(jnp.abs(mid).max()) == 0.0
+        base = unet.apply({"params": unet_params}, x, jnp.array(5.0), ctx)
+        with_res = unet.apply(
+            {"params": unet_params}, x, jnp.array(5.0), ctx,
+            down_block_additional_residuals=down,
+            mid_block_additional_residual=mid,
+        )
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(with_res))
+
+    def test_nonzero_residuals_change_unet(self, setup):
+        unet, cnet, unet_params, cnet_params = setup
+        x = jax.random.normal(jax.random.key(2), LAT)
+        ctx = jax.random.normal(jax.random.key(3), (1, 7, 32))
+        ctrl = jax.random.uniform(jax.random.key(4), IMG)
+        # Perturb the zero convs so the adapter produces signal.
+        p = jax.tree.map(
+            lambda a: a + 0.05 * jax.random.normal(jax.random.key(5), a.shape),
+            cnet_params,
+        )
+        down, mid = cnet.apply({"params": p}, x, jnp.array(5.0), ctx, ctrl)
+        assert any(float(jnp.abs(d).max()) > 0 for d in down)
+        base = unet.apply({"params": unet_params}, x, jnp.array(5.0), ctx)
+        steered = unet.apply(
+            {"params": unet_params}, x, jnp.array(5.0), ctx,
+            down_block_additional_residuals=down,
+            mid_block_additional_residual=mid,
+        )
+        assert not np.allclose(np.asarray(base), np.asarray(steered))
+
+    def test_conditioning_scale(self, setup):
+        _, cnet, _, cnet_params = setup
+        x = jax.random.normal(jax.random.key(2), LAT)
+        ctx = jax.random.normal(jax.random.key(3), (1, 7, 32))
+        ctrl = jax.random.uniform(jax.random.key(4), IMG)
+        p = jax.tree.map(
+            lambda a: a + 0.05 * jax.random.normal(jax.random.key(5), a.shape),
+            cnet_params,
+        )
+        d1, m1 = cnet.apply({"params": p}, x, jnp.array(5.0), ctx, ctrl, 1.0)
+        d2, m2 = cnet.apply({"params": p}, x, jnp.array(5.0), ctx, ctrl, 0.5)
+        np.testing.assert_allclose(
+            np.asarray(m2), 0.5 * np.asarray(m1), rtol=1e-5, atol=1e-6
+        )
+
+    def test_init_from_unet_copies_encoder(self, setup):
+        _, cnet, unet_params, cnet_params = setup
+        copied = controlnet_params_from_unet(cnet_params, unet_params)
+        np.testing.assert_array_equal(
+            np.asarray(copied["conv_in"]["kernel"]),
+            np.asarray(unet_params["conv_in"]["kernel"]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(copied["mid_attn"]["proj_in"]["kernel"]),
+            np.asarray(unet_params["mid_attn"]["proj_in"]["kernel"]),
+        )
+        # Zero convs stay zero (adapter starts as a no-op).
+        assert float(jnp.abs(copied["controlnet_mid"]["kernel"]).max()) == 0.0
+
+
+class TestControlNetPipeline:
+    @pytest.fixture(scope="class")
+    def pipe_setup(self, setup):
+        unet, cnet, unet_params, cnet_params = setup
+        gm_cfg = dataclasses.replace(TINY_UNET_CONFIG, in_channels=8)
+        gm_unet = UNet2DConditionModel(gm_cfg)
+        vae = AutoencoderKL(TINY_VAE_CONFIG)
+        text = CLIPTextModel(TINY_CLIP_CONFIG)
+        tok = CLIPTokenizer.tiny()
+        params = {
+            "unet": unet_params,
+            "controlnet": controlnet_params_from_unet(cnet_params, unet_params),
+            "gm_unet": gm_unet.init(
+                jax.random.key(6), jnp.zeros((1, 8, 4, 4)), jnp.array(1.0),
+                jnp.zeros((1, 7, 32)),
+            )["params"],
+            "vae": vae.init(
+                jax.random.key(7), jnp.zeros((1, 3, 32, 32)), jax.random.key(8)
+            )["params"],
+            "text_encoder": text.init(
+                jax.random.key(9), jnp.zeros((1, 77), jnp.int32)
+            )["params"],
+        }
+        pipe = StableDiffusionControlNetHDRPipeline(
+            unet, vae, text, tok, PNDMScheduler(),
+            gm_unet=gm_unet, controlnet=cnet,
+        )
+        return pipe, params
+
+    def test_text_to_hdr_with_control(self, pipe_setup):
+        pipe, params = pipe_setup
+        ctrl = jax.random.uniform(jax.random.key(10), (1, 3, 32, 32))
+        sdr_lat, gm_lat = pipe(
+            params, "a scene", control_image=ctrl, key=jax.random.key(0),
+            height=32, width=32, num_inference_steps=2, output_type="latent",
+        )
+        assert sdr_lat.shape == (1, 4, 4, 4)
+        assert np.isfinite(np.asarray(sdr_lat)).all()
+        assert np.isfinite(np.asarray(gm_lat)).all()
+
+    def test_control_image_matters(self, pipe_setup):
+        """With non-zero zero-convs, different control images must steer the
+        SDR branch differently."""
+        pipe, params = pipe_setup
+        p = dict(params)
+        p["controlnet"] = jax.tree.map(
+            lambda a: a + 0.05 * jax.random.normal(jax.random.key(5), a.shape),
+            params["controlnet"],
+        )
+        common = dict(
+            key=jax.random.key(0), height=32, width=32,
+            num_inference_steps=2, output_type="latent",
+        )
+        a, _ = pipe(p, "x", control_image=jnp.zeros((1, 3, 32, 32)), **common)
+        b, _ = pipe(
+            p, "x",
+            control_image=jax.random.uniform(jax.random.key(11), (1, 3, 32, 32)),
+            **common,
+        )
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_no_control_falls_back_to_dual(self, pipe_setup):
+        pipe, params = pipe_setup
+        out = pipe(
+            params, "x", key=jax.random.key(0), height=32, width=32,
+            num_inference_steps=2, output_type="latent",
+        )
+        assert out[0].shape == (1, 4, 4, 4)
+
+    def test_upconvert_sdr_to_hdrtv(self, pipe_setup):
+        pipe, params = pipe_setup
+        sdr = jax.random.uniform(jax.random.key(12), (1, 3, 32, 32))
+        sdr01, gm01, hdr = upconvert_sdr_to_hdrtv(
+            pipe, params, sdr, key=jax.random.key(0),
+            num_inference_steps=2, qmax=99.0,
+        )
+        assert gm01.shape == (1, 8, 8, 3)  # tiny VAE decodes 4x4 -> 8x8...
+
+    def test_upconvert_shapes_and_range(self, pipe_setup):
+        pipe, params = pipe_setup
+        sdr = jax.random.uniform(jax.random.key(12), (1, 3, 32, 32))
+        sdr01, gm01, hdr = upconvert_sdr_to_hdrtv(
+            pipe, params, sdr, key=jax.random.key(0),
+            num_inference_steps=2, qmax=99.0,
+        )
+        assert hdr.shape[0] == 1 and hdr.shape[1] == 3
+        assert np.isfinite(hdr).all()
+        assert hdr.max() <= 100.0 + 1e-3
