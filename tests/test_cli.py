@@ -20,9 +20,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_script(script, argv, timeout=900):
     """Run a repo script in a CPU-pinned subprocess."""
+    script_dir = os.path.dirname(os.path.join(REPO, script))
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu'); "
         "import sys, runpy; "
+        f"sys.path.insert(0, {script_dir!r}); "
         f"sys.argv = [{script!r}] + {argv!r}; "
         f"runpy.run_path({os.path.join(REPO, script)!r}, run_name='__main__')"
     )
@@ -159,6 +161,58 @@ class TestStage3CLI:
             os.path.join(out, hdrs[0]), cv2.IMREAD_ANYDEPTH | cv2.IMREAD_COLOR
         )
         assert img is not None and np.isfinite(img).all()
+
+
+class TestExperimentHarnesses:
+    def test_formal_baseline(self, workdir):
+        root, meta, data_dir = workdir
+        out = str(root / "fb_out")
+        r = run_script(
+            "scripts/inference/experiments/formal_baseline.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--output_dir", out,
+                "--resolution", "32",
+                "--num_inference_steps", "2",
+                "--num_prompts", "1",
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert any(n.endswith(".hdr") for n in os.listdir(out))
+
+    def test_visualize_latents(self, workdir):
+        root, meta, data_dir = workdir
+        out = str(root / "vis_out")
+        r = run_script(
+            "scripts/inference/experiments/visualize_latents.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--output_dir", out,
+                "--resolution", "32",
+                "--num_inference_steps", "3",
+                "--max_frames", "3",
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert os.path.exists(os.path.join(out, "trajectory_grid.png"))
+
+    def test_upconvert_hdrtv(self, workdir):
+        root, meta, data_dir = workdir
+        out = str(root / "hdrtv_out")
+        r = run_script(
+            "scripts/inference/upconvert_hdrtv.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--sdr_input_path", data_dir,
+                "--output_dir", out,
+                "--resolution", "32",
+                "--num_inference_steps", "2",
+                "--max_images", "1",
+            ],
+            timeout=1200,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert any(n.startswith("hdrtv_") for n in os.listdir(out))
 
 
 class TestStage1CLI:
