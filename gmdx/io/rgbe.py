@@ -78,10 +78,17 @@ def _rle_encode_channel(ch: np.ndarray) -> bytes:
 
 
 def write_hdr(path: str, rgb: np.ndarray) -> None:
-    """Write float RGB (H, W, 3) image to a Radiance .hdr file (RLE scanlines)."""
+    """Write float RGB (H, W, 3) image to a Radiance .hdr file (RLE scanlines).
+
+    Dispatches to the C++ codec (native/rgbe.cpp, byte-identical output)
+    when built; this numpy implementation is the fallback."""
     rgb = np.asarray(rgb, dtype=np.float32)
     if rgb.ndim != 3 or rgb.shape[-1] != 3:
         raise ValueError(f"expected (H, W, 3) RGB image, got {rgb.shape}")
+    from gmdx.native import write_hdr_native
+
+    if write_hdr_native(path, rgb):
+        return
     h, w = rgb.shape[:2]
     rgbe = rgbe_encode(rgb)
     use_rle = 8 <= w < 32768
@@ -120,7 +127,13 @@ def _read_rle_scanline(buf: memoryview, pos: int, w: int) -> tuple[np.ndarray, i
 
 
 def read_hdr(path: str) -> np.ndarray:
-    """Read a Radiance .hdr file -> float32 RGB (H, W, 3)."""
+    """Read a Radiance .hdr file -> float32 RGB (H, W, 3). Native C++ fast
+    path when built; numpy fallback below."""
+    from gmdx.native import read_hdr_native
+
+    native = read_hdr_native(path)
+    if native is not None:
+        return native
     with open(path, "rb") as f:
         data = f.read()
     if not data.startswith(b"#?"):

@@ -1,0 +1,17 @@
+"""Cross-cutting utilities: profiling, timing."""
+
+from gmdx.utils.profiling import (
+    AverageMeter,
+    StepTimer,
+    annotate,
+    device_memory_stats,
+    trace,
+)
+
+__all__ = [
+    "AverageMeter",
+    "StepTimer",
+    "annotate",
+    "device_memory_stats",
+    "trace",
+]

@@ -1,0 +1,132 @@
+"""Profiling + step timing.
+
+The reference's only instrumentation is an ``AverageMeter`` wall-clock pair
+(batch/data time) deriving samples/sec (train_vqgan_lora.py:71-87,
+1231-1241 — SURVEY.md §5.1: "no torch profiler, no NVTX, no traces"). Here:
+
+  * ``AverageMeter`` — same rolling-average surface for drop-in parity.
+  * ``StepTimer`` — data/compute split + samples/sec in one object.
+  * ``trace(log_dir)`` — context manager around ``jax.profiler`` producing
+    XPlane traces viewable in TensorBoard/Perfetto (device + host timelines,
+    XLA op breakdown — the TPU-native answer to nsys/NVTX).
+  * ``annotate(name)`` — named host span nested inside the trace.
+  * ``device_memory_stats()`` — live HBM usage per device.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, List, Optional
+
+
+class AverageMeter:
+    """Running average (reference train_vqgan_lora.py:71-87 surface)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+
+class StepTimer:
+    """Data-wait vs step-compute timing with samples/sec.
+
+    Usage per iteration::
+
+        timer.mark_data()    # after the batch is fetched
+        ... run the step ...
+        timer.mark_step(batch_size)
+    """
+
+    def __init__(self):
+        self.data_time = AverageMeter()
+        self.batch_time = AverageMeter()
+        self._t = time.perf_counter()
+        self._samples = 0
+        self._t0 = self._t
+
+    def mark_data(self):
+        now = time.perf_counter()
+        self.data_time.update(now - self._t)
+        self._t = now
+
+    def mark_step(self, batch_size: int):
+        now = time.perf_counter()
+        self.batch_time.update(now - self._t)
+        self._t = now
+        self._samples += batch_size
+
+    @property
+    def samples_per_sec(self) -> float:
+        dt = time.perf_counter() - self._t0
+        return self._samples / dt if dt > 0 else 0.0
+
+    def scalars(self) -> Dict[str, float]:
+        return {
+            "data_time": self.data_time.avg,
+            "batch_time": self.batch_time.avg,
+            "samples_per_sec": self.samples_per_sec,
+        }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str, *, host_tracer_level: int = 2):
+    """Capture a jax.profiler trace (TensorBoard `profile` plugin /
+    Perfetto). Wrap a handful of steady-state steps, not the compile."""
+    import jax
+
+    jax.profiler.start_trace(log_dir, create_perfetto_trace=False)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def annotate(name: str):
+    """Named host span nested in the active trace."""
+    import jax
+
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+def device_memory_stats() -> List[Optional[Dict[str, int]]]:
+    """Per-device live HBM stats (bytes_in_use / peak / limit) where the
+    backend exposes them; None entries otherwise."""
+    import jax
+
+    out = []
+    for d in jax.local_devices():
+        try:
+            s = d.memory_stats()
+            out.append(
+                {
+                    "bytes_in_use": s.get("bytes_in_use", 0),
+                    "peak_bytes_in_use": s.get("peak_bytes_in_use", 0),
+                    "bytes_limit": s.get("bytes_limit", 0),
+                }
+            )
+        except Exception:
+            out.append(None)
+    return out
+
+
+__all__ = [
+    "AverageMeter",
+    "StepTimer",
+    "annotate",
+    "device_memory_stats",
+    "trace",
+]
