@@ -13,6 +13,7 @@ from typing import List, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -25,8 +26,9 @@ VGG19_LAYOUT: Tuple = (
     512, 512, 512, 512, "M",
 )
 
-IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
-IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+# Host constants (no device allocation at import time).
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 class VGG19Features(nn.Module):
@@ -38,7 +40,7 @@ class VGG19Features(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> List[Array]:
         h = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)
-        h = (h - IMAGENET_MEAN.astype(h.dtype)) / IMAGENET_STD.astype(h.dtype)
+        h = (h - jnp.asarray(IMAGENET_MEAN, h.dtype)) / jnp.asarray(IMAGENET_STD, h.dtype)
         feats: List[Array] = []
         conv_idx = 0
         for spec in VGG19_LAYOUT:

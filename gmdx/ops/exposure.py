@@ -19,10 +19,12 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
-EXPOSURE_LEVELS = jnp.array([0.1, 0.25, 0.5, 1.0, 4.0, 8.0, 16.0], dtype=jnp.float32)
+# Host constant (importing gmdx must not initialize a device backend).
+EXPOSURE_LEVELS = np.array([0.1, 0.25, 0.5, 1.0, 4.0, 8.0, 16.0], dtype=np.float32)
 
 
 def sample_camera_curve(key: Array) -> Tuple[Array, Array]:
@@ -63,7 +65,7 @@ def random_exposure_adjust(
     """
     k_gate, k_exp, k_curve = jax.random.split(key, 3)
 
-    exposure = EXPOSURE_LEVELS[
+    exposure = jnp.asarray(EXPOSURE_LEVELS)[
         jax.random.randint(k_exp, (), 0, EXPOSURE_LEVELS.shape[0])
     ]
     n, sigma = sample_camera_curve(k_curve)

@@ -13,18 +13,20 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
 # Row-major BT.2020 -> BT.709 primaries conversion (same values as
-# tone_mapping.py:78-86 before the in-code transpose).
-BT2020_TO_BT709 = jnp.array(
+# tone_mapping.py:78-86 before the in-code transpose). Host constant —
+# importing gmdx must not touch a device backend.
+BT2020_TO_BT709 = np.array(
     [
         [1.660491, -0.587641, -0.072850],
         [-0.124550, 1.132900, -0.008349],
         [-0.018151, -0.100579, 1.118730],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 
@@ -36,7 +38,7 @@ def gamut_compress(tmo_hdr_img: Array, *, channel_axis: int = 1) -> Array:
       channel_axis: which axis carries RGB. Default 1 (NCHW) matches the
         reference's batched contract; pass -1 for NHWC device layouts.
     """
-    m = BT2020_TO_BT709.astype(tmo_hdr_img.dtype)
+    m = jnp.asarray(BT2020_TO_BT709, dtype=tmo_hdr_img.dtype)
     moved = jnp.moveaxis(tmo_hdr_img, channel_axis, -1)
     # HIGHEST precision: a 3x3 contraction is free, and the default TPU
     # bf16 MXU path would cost ~3 decimal digits of color accuracy.

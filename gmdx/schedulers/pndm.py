@@ -26,6 +26,7 @@ import dataclasses
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gmdx.schedulers import base
 from gmdx.schedulers.base import SchedulerConfig
@@ -35,7 +36,7 @@ Array = jax.Array
 # eps_eff = C[k, 0] * e_new + sum_i C[k, 1+i] * ets[i]  (ets[0] newest),
 # selected by k = min(counter, 4). For counter != 1 the new eps is already
 # pushed into ets[0], so column 0 is only used by the counter==1 row.
-_PLMS_COEFFS = jnp.array(
+_PLMS_COEFFS = np.array(
     [
         #  e_new   ets[0]    ets[1]    ets[2]   ets[3]
         [0.0, 1.0, 0.0, 0.0, 0.0],  # counter 0
@@ -44,7 +45,7 @@ _PLMS_COEFFS = jnp.array(
         [0.0, 23.0 / 12.0, -16.0 / 12.0, 5.0 / 12.0, 0.0],  # counter 3
         [0.0, 55.0 / 24.0, -59.0 / 24.0, 37.0 / 24.0, -9.0 / 24.0],  # counter 4+
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 
@@ -127,7 +128,7 @@ class PNDMScheduler:
 
         # Effective epsilon: coefficient row by warmup stage.
         k = jnp.minimum(counter, 4)
-        c = _PLMS_COEFFS[k].astype(model_output.dtype)
+        c = jnp.asarray(_PLMS_COEFFS)[k].astype(model_output.dtype)
         eps_eff = c[0] * model_output + jnp.tensordot(
             c[1:], ets, axes=([0], [0])
         )
