@@ -59,6 +59,11 @@ class UNetConfig:
     sample_size: int = 64
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
+    # Gradient checkpointing: rematerialize resnet/transformer activations in
+    # the backward pass (the reference's --gradient_checkpointing,
+    # train_gm_unet.py:868-870), trading ~30% step FLOPs for O(depth) less
+    # activation HBM.
+    remat: bool = False
 
 
 SD15_UNET_CONFIG = UNetConfig()
@@ -111,6 +116,12 @@ class UNet2DConditionModel(nn.Module):
             n = cfg.num_attention_heads
             return n, ch // n
 
+        if cfg.remat:
+            ResBlock = nn.remat(ResnetBlock2D)
+            TfmBlock = nn.remat(Transformer2D)
+        else:
+            ResBlock, TfmBlock = ResnetBlock2D, Transformer2D
+
         # --- down ---
         h = nn.Conv(
             cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype,
@@ -122,11 +133,11 @@ class UNet2DConditionModel(nn.Module):
             out_ch = cfg.block_out_channels[i]
             heads, head_dim = heads_for(out_ch)
             for j in range(cfg.layers_per_block):
-                h = ResnetBlock2D(
+                h = ResBlock(
                     out_ch, dtype=self.dtype, name=f"down_{i}_resnet_{j}"
                 )(h, temb)
                 if block_type == "CrossAttnDownBlock2D":
-                    h = Transformer2D(
+                    h = TfmBlock(
                         out_ch,
                         heads,
                         head_dim,
@@ -143,8 +154,8 @@ class UNet2DConditionModel(nn.Module):
         # --- mid ---
         mid_ch = cfg.block_out_channels[-1]
         heads, head_dim = heads_for(mid_ch)
-        h = ResnetBlock2D(mid_ch, dtype=self.dtype, name="mid_resnet_0")(h, temb)
-        h = Transformer2D(
+        h = ResBlock(mid_ch, dtype=self.dtype, name="mid_resnet_0")(h, temb)
+        h = TfmBlock(
             mid_ch,
             heads,
             head_dim,
@@ -153,7 +164,7 @@ class UNet2DConditionModel(nn.Module):
             dtype=self.dtype,
             name="mid_attn",
         )(h, context)
-        h = ResnetBlock2D(mid_ch, dtype=self.dtype, name="mid_resnet_1")(h, temb)
+        h = ResBlock(mid_ch, dtype=self.dtype, name="mid_resnet_1")(h, temb)
 
         if down_block_additional_residuals is not None:
             if len(down_block_additional_residuals) != len(skips):
@@ -176,11 +187,11 @@ class UNet2DConditionModel(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResnetBlock2D(
+                h = ResBlock(
                     out_ch, dtype=self.dtype, name=f"up_{i}_resnet_{j}"
                 )(h, temb)
                 if block_type == "CrossAttnUpBlock2D":
-                    h = Transformer2D(
+                    h = TfmBlock(
                         out_ch,
                         heads,
                         head_dim,

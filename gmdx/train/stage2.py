@@ -39,6 +39,7 @@ class Stage2Config:
     lr_scheduler: str = "constant"
     lr_warmup_steps: int = 0
     max_train_steps: Optional[int] = None
+    gradient_accumulation_steps: int = 1
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     adam_weight_decay: float = 1e-2
@@ -75,7 +76,7 @@ def make_optimizer(config: Stage2Config) -> optax.GradientTransformation:
         num_warmup_steps=config.lr_warmup_steps,
         num_training_steps=config.max_train_steps,
     )
-    return make_adamw(
+    opt = make_adamw(
         schedule,
         beta1=config.adam_beta1,
         beta2=config.adam_beta2,
@@ -83,6 +84,11 @@ def make_optimizer(config: Stage2Config) -> optax.GradientTransformation:
         epsilon=config.adam_epsilon,
         max_grad_norm=config.max_grad_norm,
     )
+    if config.gradient_accumulation_steps > 1:
+        # Accumulate micro-batch grads on device; params update every k-th
+        # call (the reference's accelerate.accumulate semantics).
+        opt = optax.MultiSteps(opt, config.gradient_accumulation_steps)
+    return opt
 
 
 def init_state(

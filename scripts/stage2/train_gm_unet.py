@@ -211,6 +211,13 @@ def main():
         )
         unet_params = inflate_conv_in(unet_params, 8, scale=0.5)
         logger.info("inflated conv_in 4 -> 8 channels")
+    if args.gradient_checkpointing:
+        from gmdx.models import UNet2DConditionModel
+
+        unet = UNet2DConditionModel(
+            dataclasses.replace(unet.config, remat=True)
+        )
+        logger.info("gradient checkpointing (remat) enabled")
 
     frozen = {
         "vae": bundle["params"]["vae"],
@@ -233,6 +240,7 @@ def main():
 
     cfg = Stage2Config(
         learning_rate=lr,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
         lr_scheduler=args.lr_scheduler,
         lr_warmup_steps=args.lr_warmup_steps,
         max_train_steps=max_train_steps,
