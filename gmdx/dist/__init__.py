@@ -3,6 +3,7 @@ substrate — SURVEY.md §5.8)."""
 
 from gmdx.dist.mesh import (
     make_mesh,
+    zero1_shard,
     data_sharding,
     replicated_sharding,
     shard_batch,
@@ -12,6 +13,7 @@ from gmdx.dist.mesh import (
 
 __all__ = [
     "make_mesh",
+    "zero1_shard",
     "data_sharding",
     "replicated_sharding",
     "shard_batch",

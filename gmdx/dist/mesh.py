@@ -67,8 +67,37 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def zero1_shard(mesh: Mesh, tree, axis: str = "data"):
+    """ZeRO-1-style sharding: split each leaf's largest divisible axis over
+    the data axis (replicate leaves with no divisible axis).
+
+    Intended for optimizer state (Adam m/v are as large as the params): the
+    reference only has DeepSpeed *plumbing* for this (SURVEY.md §2.3); here
+    the SPMD partitioner consumes these shardings directly — the jitted train
+    step updates each shard locally and XLA inserts the all-gather where the
+    updated params are consumed.
+    """
+    n = mesh.shape[axis]
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            for d in sorted(
+                range(x.ndim), key=lambda d: -x.shape[d]
+            ):
+                if x.shape[d] % n == 0 and x.shape[d] >= n:
+                    spec = [None] * x.ndim
+                    spec[d] = axis
+                    return jax.device_put(
+                        x, NamedSharding(mesh, P(*spec))
+                    )
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, tree)
+
+
 __all__ = [
     "make_mesh",
+    "zero1_shard",
     "data_sharding",
     "replicated_sharding",
     "shard_batch",

@@ -266,3 +266,61 @@ class TestStage1:
             state.trainables, new_state.trainables,
         )
         assert all(jax.tree.leaves(same))
+
+
+class TestZeRO1:
+    def test_sharded_opt_state_matches_replicated(self, stage2_setup):
+        """ZeRO-1 sharded optimizer state must produce the same two-step loss
+        trajectory as fully replicated state (XLA repartitions the update)."""
+        from gmdx.dist import zero1_shard
+        from gmdx.train.stage2 import Stage2State
+
+        unet, vae, text, unet_params, frozen, batch = stage2_setup
+        cfg = Stage2Config(learning_rate=1e-3)
+        opt = make_optimizer(cfg)
+        step = make_train_step(
+            cfg, unet=unet, vae=vae, text_encoder=text,
+            optimizer=opt, donate=False,
+        )
+        big = jax.tree.map(lambda x: jnp.concatenate([x] * 4, axis=0), batch)
+        mesh = make_mesh(8)
+        sb = shard_batch(mesh, big)
+        fr = replicate(mesh, frozen)
+
+        def two_steps(state):
+            state, m1 = step(state, fr, sb, jax.random.key(0))
+            state, m2 = step(state, fr, sb, jax.random.key(1))
+            return float(m1["loss"]), float(m2["loss"])
+
+        base = init_state(cfg, unet_params, opt)
+        l_rep = two_steps(replicate(mesh, base))
+        sharded = Stage2State(
+            params=replicate(mesh, base.params),
+            opt_state=zero1_shard(mesh, base.opt_state),
+            ema=None,
+            step=jax.device_put(
+                base.step, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec()
+                )
+            ),
+        )
+        l_z1 = two_steps(sharded)
+        np.testing.assert_allclose(l_z1, l_rep, rtol=1e-4)
+
+    def test_zero1_actually_shards(self, stage2_setup):
+        from gmdx.dist import zero1_shard
+
+        unet, vae, text, unet_params, frozen, batch = stage2_setup
+        mesh = make_mesh(8)
+        cfg = Stage2Config()
+        opt = make_optimizer(cfg)
+        opt_state = zero1_shard(mesh, opt.init(unet_params))
+        leaves = [
+            x for x in jax.tree.leaves(opt_state)
+            if hasattr(x, "sharding") and hasattr(x, "ndim") and x.ndim >= 1
+        ]
+        n_sharded = sum(
+            1 for x in leaves
+            if not x.sharding.is_fully_replicated
+        )
+        assert n_sharded > len(leaves) // 2  # most tensors actually split
