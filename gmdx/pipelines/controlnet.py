@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from gmdx.pipelines.dual import StableDiffusionDualUNetPipeline
-from gmdx.pipelines.gm import rescale_noise_cfg
+from gmdx.pipelines.gm import rescale_noise_cfg, scheduler_step
 
 Array = jax.Array
 
@@ -102,10 +102,7 @@ class StableDiffusionControlNetHDRPipeline(StableDiffusionDualUNetPipeline):
         )
 
         def sched_step(st, eps, lat, key):
-            try:
-                return sched.step(st, eps, lat, key=key)
-            except TypeError:
-                return sched.step(st, eps, lat)
+            return scheduler_step(sched, st, eps, lat, key=key, eta=eta)
 
         def body(carry, key):
             sdr_st, gm_st, lat, gm_lat = carry

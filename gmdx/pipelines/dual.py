@@ -31,7 +31,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gmdx.pipelines.gm import StableDiffusionGMPipeline, rescale_noise_cfg
+from gmdx.pipelines.gm import (
+    StableDiffusionGMPipeline,
+    rescale_noise_cfg,
+    scheduler_step,
+)
 
 Array = jax.Array
 
@@ -86,10 +90,7 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
         )
 
         def sched_step(st, eps, lat, key):
-            try:
-                return sched.step(st, eps, lat, key=key)
-            except TypeError:
-                return sched.step(st, eps, lat)
+            return scheduler_step(sched, st, eps, lat, key=key, eta=eta)
 
         def body(carry, key):
             sdr_st, gm_st, lat, gm_lat = carry

@@ -35,6 +35,36 @@ def rescale_noise_cfg(
     return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
 
 
+def get_guidance_scale_embedding(
+    w: Array, embedding_dim: int = 512, dtype=jnp.float32
+) -> Array:
+    """Sinusoidal guidance-scale embedding for guidance-distilled UNets
+    (reference stable_diffusion_gm.py:719-747; SD-1.5 itself has no
+    time_cond_proj, so this is exposed for API parity and LCM-style models)."""
+    w = jnp.atleast_1d(w) * 1000.0
+    half = embedding_dim // 2
+    emb = jnp.log(10000.0) / (half - 1)
+    emb = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -emb)
+    emb = w.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb.astype(dtype)
+
+
+def scheduler_step(sched, state, eps, latents, *, key=None, eta: float = 0.0):
+    """Dispatch a scheduler step across the family's signatures: DDIM takes
+    (eta, key), DDPM takes key, PNDM/DPM++ take neither."""
+    try:
+        return sched.step(state, eps, latents, key=key, eta=eta)
+    except TypeError:
+        pass
+    try:
+        return sched.step(state, eps, latents, key=key)
+    except TypeError:
+        return sched.step(state, eps, latents)
+
+
 @dataclasses.dataclass
 class StableDiffusionGMPipeline:
     """Functional pipeline: modules are static, params are call arguments."""
@@ -44,6 +74,11 @@ class StableDiffusionGMPipeline:
     text_encoder: Any  # CLIPTextModel
     tokenizer: Any  # CLIPTokenizer
     scheduler: Any  # functional scheduler (PNDM by default)
+    # Optional NSFW filter hook (reference run_safety_checker,
+    # stable_diffusion_gm.py:585-597): callable (images01_nhwc) ->
+    # (images01_nhwc, has_nsfw_list). None disables, like the reference's
+    # safety_checker=None load path.
+    safety_checker: Any = None
 
     # -- prompt handling (host boundary) ----------------------------------
     def encode_prompt(
@@ -122,11 +157,14 @@ class StableDiffusionGMPipeline:
         num_inference_steps: int = 50,
         guidance_scale: float = 7.5,
         guidance_rescale: float = 0.0,
+        eta: float = 0.0,
         step_keys: Optional[Array] = None,
         return_intermediates: bool = False,
     ):
         """The hot loop (reference stable_diffusion_gm.py:1040-1091) as a
-        scan. Jit-closed over static step count and CFG structure."""
+        scan. Jit-closed over static step count and CFG structure. ``eta``
+        reaches the scheduler when it supports it (DDIM — the reference's
+        prepare_extra_step_kwargs path, :610-625)."""
         do_cfg = negative_prompt_embeds is not None
         context = (
             jnp.concatenate([negative_prompt_embeds, prompt_embeds])
@@ -155,10 +193,7 @@ class StableDiffusionGMPipeline:
                 eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
                 if guidance_rescale > 0.0:
                     eps = rescale_noise_cfg(eps, eps_text, guidance_rescale)
-            try:
-                st, lat = sched.step(st, eps, lat, key=key)
-            except TypeError:
-                st, lat = sched.step(st, eps, lat)
+            st, lat = scheduler_step(sched, st, eps, lat, key=key, eta=eta)
             return (st, lat), (lat if return_intermediates else None)
 
         (state, latents), inter = jax.lax.scan(
@@ -179,6 +214,7 @@ class StableDiffusionGMPipeline:
         num_inference_steps: int = 50,
         guidance_scale: float = 7.5,
         guidance_rescale: float = 0.0,
+        eta: float = 0.0,
         latents: Optional[Array] = None,
         clip_skip: Optional[int] = None,
         output_type: str = "pil",
@@ -209,6 +245,7 @@ class StableDiffusionGMPipeline:
             num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale,
             guidance_rescale=guidance_rescale,
+            eta=eta,
             step_keys=step_keys,
         )
         if output_type == "latent":
@@ -216,7 +253,15 @@ class StableDiffusionGMPipeline:
         img = self.decode_latents(params, gm_latents)
         img = np.asarray(img)
         img = np.clip(img / 2.0 + 0.5, 0.0, 1.0)
-        return np.transpose(img, (0, 2, 3, 1))
+        img = np.transpose(img, (0, 2, 3, 1))
+        if self.safety_checker is not None:
+            img, _ = self.safety_checker(img)
+        return img
 
 
-__all__ = ["StableDiffusionGMPipeline", "rescale_noise_cfg"]
+__all__ = [
+    "StableDiffusionGMPipeline",
+    "rescale_noise_cfg",
+    "get_guidance_scale_embedding",
+    "scheduler_step",
+]

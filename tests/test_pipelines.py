@@ -276,3 +276,41 @@ class TestDualPipeline:
         )
         assert seen["gm_ctx_batch"] == 1  # conditional-only, no CFG doubling
         assert seen["gm_in_channels"] == 8  # [x0, gm_latents] concat
+
+
+class TestEtaPath:
+    def test_ddim_eta_changes_output(self, components):
+        """eta>0 reaches DDIM's stochastic branch through the pipeline
+        (reference prepare_extra_step_kwargs path, stable_diffusion_gm.py:
+        610-625); deterministic eta=0 must stay reproducible."""
+        from gmdx.schedulers import DDIMScheduler
+
+        unet8, _, vae, text, tok, params = components
+        pipe = StableDiffusionGMPipeline(unet8, vae, text, tok, DDIMScheduler())
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        common = dict(key=jax.random.key(7), num_inference_steps=3,
+                      output_type="latent")
+        a = pipe(params, sdr_latent, "x", eta=0.0, **common)
+        b = pipe(params, sdr_latent, "x", eta=0.0, **common)
+        c = pipe(params, sdr_latent, "x", eta=1.0, **common)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+class TestSafetyChecker:
+    def test_hook_invoked(self, components):
+        unet8, _, vae, text, tok, params = components
+        calls = {}
+
+        def checker(imgs):
+            calls["n"] = imgs.shape[0]
+            return imgs * 0.0, [True] * imgs.shape[0]
+
+        pipe = StableDiffusionGMPipeline(
+            unet8, vae, text, tok, PNDMScheduler(), safety_checker=checker
+        )
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        img = pipe(params, sdr_latent, "x", key=jax.random.key(6),
+                   num_inference_steps=2)
+        assert calls["n"] == 1
+        assert (img == 0).all()
