@@ -62,6 +62,7 @@ def make_dataloader(
     batch_size: int,
     resolution: int = 512,
     center_crop: bool = False,
+    random_flip: bool = False,
     shuffle: bool = True,
     seed: int = 0,
     num_epochs: Optional[int] = None,
@@ -79,7 +80,8 @@ def make_dataloader(
     def sample(idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         sdr, gm, text = dataset.load_pair(idx)
         pv, gv = preprocess_pair(
-            sdr, gm, resolution, center_crop=center_crop, rng=rng
+            sdr, gm, resolution, center_crop=center_crop,
+            random_flip=random_flip, rng=rng,
         )
         tok = tokenizer(text)
         return {

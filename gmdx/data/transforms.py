@@ -67,14 +67,21 @@ def preprocess_pair(
     resolution: int,
     *,
     center_crop: bool = False,
+    random_flip: bool = False,
     rng: np.random.Generator | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Full paired chain -> two (3, resolution, resolution) float32 in [-1,1]."""
+    """Full paired chain -> two (3, resolution, resolution) float32 in [-1,1].
+
+    ``random_flip`` applies ONE horizontal-flip draw to both images (the
+    reference flips SDR and GM independently with separate RandomHorizontalFlip
+    instances — same mis-pairing class as its crop; deliberately fixed)."""
     sdr = resize_shorter_side(sdr.convert("RGB"), resolution)
     gm = resize_shorter_side(gm.convert("RGB"), resolution)
     a, b = paired_crop(
         np.asarray(sdr), np.asarray(gm), resolution, rng=rng, center=center_crop
     )
+    if random_flip and rng is not None and rng.random() < 0.5:
+        a, b = a[:, ::-1], b[:, ::-1]
     return to_model_range(a), to_model_range(b)
 
 

@@ -155,6 +155,11 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
         """Returns a (sdr, gm) tuple — postprocessed [0,1] NHWC numpy images,
         or raw latents when ``output_type == "latent"`` (the reference packs
         them as [latents, gm_latents], :1123)."""
+        self.check_inputs(
+            prompt, height=height, width=width,
+            guidance_rescale=guidance_rescale,
+            negative_prompt=negative_prompt, latents=latents,
+        )
         if key is None:
             key = jax.random.key(0)
         k_lat, k_steps = jax.random.split(key)

@@ -80,6 +80,45 @@ class StableDiffusionGMPipeline:
     # safety_checker=None load path.
     safety_checker: Any = None
 
+    # -- validation (reference check_inputs, stable_diffusion_gm.py:627-694)
+    @staticmethod
+    def check_inputs(
+        prompt=None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        guidance_rescale: float = 0.0,
+        negative_prompt=None,
+        latents: Optional[Array] = None,
+    ) -> None:
+        """Raise ValueError on malformed inputs instead of failing deep in
+        the traced graph."""
+        for name, v in (("height", height), ("width", width)):
+            if v is not None and v % 8 != 0:
+                raise ValueError(f"{name} must be divisible by 8, got {v}")
+        if prompt is not None and not isinstance(prompt, (str, list, tuple)):
+            raise ValueError(f"prompt must be str or list, got {type(prompt)}")
+        if negative_prompt is not None and not isinstance(
+            negative_prompt, (str, list, tuple)
+        ):
+            raise ValueError(
+                f"negative_prompt must be str or list, got {type(negative_prompt)}"
+            )
+        if (
+            isinstance(prompt, (list, tuple))
+            and isinstance(negative_prompt, (list, tuple))
+            and len(prompt) != len(negative_prompt)
+        ):
+            raise ValueError(
+                f"prompt batch {len(prompt)} != negative_prompt batch "
+                f"{len(negative_prompt)}"
+            )
+        if not 0.0 <= guidance_rescale <= 1.0:
+            raise ValueError(f"guidance_rescale must be in [0, 1], got {guidance_rescale}")
+        if latents is not None and (latents.ndim != 4 or latents.shape[1] != 4):
+            raise ValueError(
+                f"latents must be (B, 4, h, w), got {getattr(latents, 'shape', None)}"
+            )
+
     # -- prompt handling (host boundary) ----------------------------------
     def encode_prompt(
         self,
@@ -225,6 +264,10 @@ class StableDiffusionGMPipeline:
         ``latents=`` accepts pre-drawn initial noise for parity harnesses
         (the reference supports the same injection,
         stable_diffusion_gm.py:796)."""
+        self.check_inputs(
+            prompt, guidance_rescale=guidance_rescale,
+            negative_prompt=negative_prompt, latents=latents,
+        )
         if key is None:
             key = jax.random.key(0)
         k_lat, k_steps = jax.random.split(key)

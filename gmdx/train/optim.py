@@ -109,9 +109,15 @@ def make_adamw(
     weight_decay: float = 1e-2,
     epsilon: float = 1e-8,
     max_grad_norm: Optional[float] = 1.0,
+    low_precision_moments: bool = False,
 ) -> optax.GradientTransformation:
     """AdamW with optional global-norm clipping (reference clips before the
-    optimizer step, train_gm_unet.py:1202-1204)."""
+    optimizer step, train_gm_unet.py:1202-1204).
+
+    ``low_precision_moments`` keeps the first moment in bfloat16 — the
+    TPU-native analog of the reference's bitsandbytes --use_8bit_adam
+    (train_vqgan_lora.py:910-939): same goal (shrink optimizer HBM), same
+    knob surface."""
     chain = []
     if max_grad_norm is not None and max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
@@ -122,6 +128,7 @@ def make_adamw(
             b2=beta2,
             eps=epsilon,
             weight_decay=weight_decay,
+            mu_dtype="bfloat16" if low_precision_moments else None,
         )
     )
     return optax.chain(*chain)

@@ -48,6 +48,7 @@ class Stage2Config:
     noise_offset: float = 0.0
     input_perturbation: float = 0.0
     snr_gamma: Optional[float] = None
+    use_8bit_adam: bool = False
     prediction_type: str = "epsilon"
     use_ema: bool = False
     weight_dtype: Any = jnp.float32
@@ -83,6 +84,7 @@ def make_optimizer(config: Stage2Config) -> optax.GradientTransformation:
         weight_decay=config.adam_weight_decay,
         epsilon=config.adam_epsilon,
         max_grad_norm=config.max_grad_norm,
+        low_precision_moments=config.use_8bit_adam,
     )
     if config.gradient_accumulation_steps > 1:
         # Accumulate micro-batch grads on device; params update every k-th

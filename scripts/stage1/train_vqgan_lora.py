@@ -289,6 +289,7 @@ def main():
         batch_size=args.train_batch_size * n_dev,
         resolution=args.resolution,
         center_crop=args.center_crop,
+        random_flip=args.random_flip,
         seed=args.seed or 0,
         num_workers=args.dataloader_num_workers,
         max_samples=args.max_train_samples,

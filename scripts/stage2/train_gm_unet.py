@@ -252,6 +252,7 @@ def main():
         noise_offset=args.noise_offset,
         input_perturbation=args.input_perturbation,
         snr_gamma=args.snr_gamma,
+        use_8bit_adam=args.use_8bit_adam,
         prediction_type=args.prediction_type or "epsilon",
         use_ema=args.use_ema,
         weight_dtype=jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32,
@@ -287,6 +288,7 @@ def main():
         batch_size=args.train_batch_size * n_dev,
         resolution=args.resolution,
         center_crop=args.center_crop,
+        random_flip=args.random_flip,
         seed=args.seed or 0,
         num_workers=args.dataloader_num_workers,
         max_samples=args.max_train_samples,
