@@ -1,6 +1,13 @@
 """Device-mesh and sharding helpers (replaces the reference's Accelerate/NCCL
 substrate — SURVEY.md §5.8)."""
 
+from gmdx.dist.multihost import (
+    initialize,
+    is_main_process,
+    barrier,
+    main_process_first,
+    broadcast_from_main,
+)
 from gmdx.dist.mesh import (
     make_mesh,
     zero1_shard,
@@ -12,6 +19,11 @@ from gmdx.dist.mesh import (
 )
 
 __all__ = [
+    "initialize",
+    "is_main_process",
+    "barrier",
+    "main_process_first",
+    "broadcast_from_main",
     "make_mesh",
     "zero1_shard",
     "data_sharding",

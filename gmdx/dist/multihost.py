@@ -1,0 +1,100 @@
+"""Multi-host process-group utilities.
+
+The reference's process model is HF Accelerate over torch.distributed/NCCL:
+process-group init, ``main_process_first`` for dataset prep,
+``wait_for_everyone`` barriers, gathered loss logging (SURVEY.md §5.8). The
+TPU-native mapping: ``jax.distributed.initialize()`` joins the hosts of a
+pod slice (ICI inside a slice, DCN across), the global mesh spans
+``jax.devices()``, and the barrier/broadcast patterns come from
+``jax.experimental.multihost_utils``. Gradient/loss reductions need nothing
+here — they are psums XLA already inserts inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+from typing import Optional
+
+import jax
+
+logger = logging.getLogger("gmdx.dist")
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Join the jax multi-host process group.
+
+    No-ops (returns False) when single-process — safe to call
+    unconditionally from the CLIs. TPU pod environments autodetect all
+    arguments; explicit values are for DCN/GPU-style bring-up.
+    """
+    if jax.process_count() > 1:
+        return True  # already initialized by the runtime
+    try:
+        if coordinator_address is not None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
+            jax.distributed.initialize()
+        logger.info(
+            "jax.distributed: process %d/%d, %d local / %d global devices",
+            jax.process_index(), jax.process_count(),
+            jax.local_device_count(), jax.device_count(),
+        )
+        return True
+    except Exception as e:  # single-host or no coordinator: stay local
+        logger.debug("jax.distributed.initialize skipped: %s", e)
+        return False
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def barrier(name: str = "gmdx") -> None:
+    """Block until every host arrives (accelerate wait_for_everyone)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+@contextlib.contextmanager
+def main_process_first(name: str = "gmdx_mpf"):
+    """Main host runs the body before the others proceed (the reference's
+    dataset-prep gate, train_gm_unet.py:988)."""
+    if jax.process_count() == 1:
+        yield
+        return
+    if is_main_process():
+        yield
+        barrier(name)
+    else:
+        barrier(name)
+        yield
+
+
+def broadcast_from_main(tree):
+    """Replicate a host-local pytree from process 0 to all hosts."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(tree)
+
+
+__all__ = [
+    "initialize",
+    "is_main_process",
+    "barrier",
+    "main_process_first",
+    "broadcast_from_main",
+]

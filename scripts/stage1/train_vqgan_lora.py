@@ -174,7 +174,10 @@ def main():
     import numpy as np
 
     from gmdx.data import ParquetImageDataset, make_dataloader
+    from gmdx.dist import initialize as dist_initialize
     from gmdx.dist import make_mesh, replicate, shard_batch
+
+    dist_initialize()  # no-op single-host; joins the pod slice otherwise
     from gmdx.io.pipeline import load_pipeline, save_component, save_pipeline
     from gmdx.models import Discriminator, LoRAConfig, VGG19Features
     from gmdx.ops import random_exposure_adjust
