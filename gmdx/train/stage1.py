@@ -213,7 +213,15 @@ def make_gen_step(
             ema=ema,
             step=state.step + 1,
         )
-        metrics = {"gen_loss": loss, "grad_norm": optax.global_norm(grads), **parts}
+        metrics = {
+            "gen_loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "module_grad_norms": {
+                "lora": optax.global_norm(grads["lora"]),
+                "conv_out": optax.global_norm(grads["conv_out"]),
+            },
+            **parts,
+        }
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

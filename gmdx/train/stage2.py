@@ -232,6 +232,12 @@ def make_train_step(
         metrics = {
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
+            # Per-module norms (reference log_grad_norm,
+            # train_vqgan_lora.py:329-334): top-level tree keys keep the
+            # metric count bounded at SD scale.
+            "module_grad_norms": {
+                k: optax.global_norm(v) for k, v in grads.items()
+            },
         }
         return new_state, metrics
 

@@ -332,11 +332,13 @@ def main():
             dt = time.time() - t_last
             t_last = time.time()
             sps = 10 * args.train_batch_size * n_dev / dt if global_step > 1 else 0
-            metrics_log.log(
-                global_step,
-                {"train_loss": loss, "grad_norm": float(m["grad_norm"]),
-                 "samples_per_sec": sps},
-            )
+            scalars = {"train_loss": loss, "grad_norm": float(m["grad_norm"]),
+                       "samples_per_sec": sps}
+            scalars.update({
+                f"grad_norm/{k}": float(v)
+                for k, v in m["module_grad_norms"].items()
+            })
+            metrics_log.log(global_step, scalars)
             logger.info(
                 "step %d loss %.5f grad %.3f %.1f samples/s",
                 global_step, loss, float(m["grad_norm"]), sps,
