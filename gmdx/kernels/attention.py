@@ -40,9 +40,16 @@ def dot_product_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if use_pallas is None:
+        # Measured on v5e at SD-1.5 shapes (see BENCHNOTES.md): the flash
+        # kernel beats XLA whenever K is long — 1.7x at 4096 tokens (5.7 vs
+        # 9.8 ms, B8H8D40), 1.2x at 1024 — while XLA wins for short-K
+        # cross-attention (77 tokens: 1.1 vs 2.3 ms) and tiny grids where
+        # kernel overhead dominates. Flash also removes the O(Sq*Sk) logits
+        # materialization, which XLA cannot avoid at 1024^2+ resolutions.
         use_pallas = (
             os.environ.get("GMDX_NO_PALLAS", "0") != "1"
             and jax.default_backend() == "tpu"
+            and k.shape[1] >= 1024
         )
     if use_pallas:
         from gmdx.kernels.flash_attention import flash_attention

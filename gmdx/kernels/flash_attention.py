@@ -36,7 +36,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _flash_kernel(
     sk_ref,  # SMEM (1,): true (unpadded) key length
-    q_ref,  # VMEM (1, blk_q, d)
+    q_ref,  # VMEM (1, blk_q, d) — pre-scaled by sm_scale on the host side
     k_ref,  # VMEM (1, blk_k, d)
     v_ref,  # VMEM (1, blk_k, d)
     o_ref,  # VMEM (1, blk_q, d)
@@ -44,8 +44,8 @@ def _flash_kernel(
     l_scr,  # VMEM (blk_q, 128) running row sum
     acc_scr,  # VMEM (blk_q, d) fp32 accumulator
     *,
-    scale: float,
     blk_k: int,
+    needs_mask: bool,
 ):
     kidx = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -64,11 +64,13 @@ def _flash_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    s = s * scale
 
-    # Mask key positions past the true length.
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kidx * blk_k
-    s = jnp.where(col < sk_ref[0], s, _NEG_INF)
+    # Mask key positions past the true length — statically skipped when the
+    # key length is already lane-aligned (the hot self-attention case), which
+    # saves an iota+compare+select per logit on the VPU.
+    if needs_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kidx * blk_k
+        s = jnp.where(col < sk_ref[0], s, _NEG_INF)
 
     m_prev = m_scr[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -98,20 +100,28 @@ def _flash_forward(q: Array, k: Array, v: Array, scale: float) -> Array:
     sk = k.shape[1]
     dtype = q.dtype
 
-    blk_q = min(512, _round_up(sq, 128))
-    blk_k = min(512, _round_up(sk, 128))
+    blk_q = min(1024, _round_up(sq, 128))
+    blk_k = min(1024, _round_up(sk, 128))
     sq_p = _round_up(sq, blk_q)
     sk_p = _round_up(sk, blk_k)
     d_p = _round_up(d, 128)
 
-    qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, d_p - d)))
+    # Fold the softmax scale into Q once (one pass over Q) instead of
+    # multiplying every (Sq, Sk) logit inside the kernel.
+    qp = jnp.pad(
+        (q.astype(jnp.float32) * scale).astype(dtype),
+        ((0, 0), (0, sq_p - sq), (0, d_p - d)),
+    )
     kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, d_p - d)))
     vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, d_p - d)))
     sk_arr = jnp.array([sk], jnp.int32)
+    needs_mask = sk_p != sk
 
     grid = (bh, sq_p // blk_q, sk_p // blk_k)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, blk_k=blk_k),
+        functools.partial(
+            _flash_kernel, blk_k=blk_k, needs_mask=needs_mask
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,

@@ -57,23 +57,69 @@ class TimestepEmbedding(nn.Module):
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_2")(x)
 
 
+class _GNScaleBias(nn.Module):
+    """Param holder keeping the nn.GroupNorm tree layout (norm/scale|bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
 class GroupNorm(nn.Module):
-    """GroupNorm with fp32 statistics regardless of compute dtype."""
+    """GroupNorm with fp32 statistics regardless of compute dtype.
+
+    ``activate=True`` fuses the SiLU that always follows GroupNorm in the
+    SD resnet blocks — dispatched to the Pallas fused kernel on TPU
+    (gmdx/kernels/groupnorm.py), jnp math elsewhere.
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, activate: bool = False) -> Array:
+        import os
+
+        c = x.shape[-1]
+        scale, bias = _GNScaleBias(c, name="norm")()
         orig_dtype = x.dtype
-        out = nn.GroupNorm(
-            num_groups=self.num_groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            name="norm",
-        )(x.astype(jnp.float32))
-        return out.astype(orig_dtype)
+
+        # Opt-in only: measured ~par with XLA's own GN+SiLU fusion on v5e
+        # (see gmdx/kernels/groupnorm.py docstring), so the jnp path is the
+        # default and the kernel stays available for odd layouts/benchmarks.
+        if (
+            x.ndim == 4
+            and os.environ.get("GMDX_FUSED_GN", "0") == "1"
+            and jax.default_backend() == "tpu"
+        ):
+            from gmdx.kernels.groupnorm import fused_group_norm_silu
+
+            out = fused_group_norm_silu(
+                x, scale, bias,
+                num_groups=self.num_groups, eps=self.epsilon,
+                activate=activate,
+            )
+            if out is not None:
+                return out
+
+        xf = x.astype(jnp.float32)
+        shape = xf.shape
+        g = self.num_groups
+        xg = xf.reshape(shape[:-1] + (g, c // g))
+        red_axes = tuple(range(1, xf.ndim - 1)) + (xf.ndim,)
+        mean = xg.mean(axis=red_axes, keepdims=True)
+        var = xg.var(axis=red_axes, keepdims=True)
+        y = ((xg - mean) * jax.lax.rsqrt(var + self.epsilon)).reshape(shape)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        if activate:
+            y = nn.silu(y)
+        return y.astype(orig_dtype)
 
 
 class Attention(nn.Module):
@@ -194,16 +240,14 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: Array, temb: Optional[Array] = None) -> Array:
         in_channels = x.shape[-1]
-        h = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm1")(x, activate=True)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm2")(h, activate=True)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(

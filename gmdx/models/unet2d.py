@@ -204,8 +204,9 @@ class UNet2DConditionModel(nn.Module):
                 h = Upsample2D(out_ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)
 
         # --- out ---
-        h = GroupNorm(32, 1e-5, dtype=self.dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(32, 1e-5, dtype=self.dtype, name="conv_norm_out")(
+            h, activate=True
+        )
         h = nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(h)

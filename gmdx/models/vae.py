@@ -94,8 +94,9 @@ class Encoder(nn.Module):
         h = ResnetBlock2D(mid, use_temb=False, dtype=self.dtype, name="mid_resnet_0")(h)
         h = VAEAttention(mid, dtype=self.dtype, name="mid_attn")(h)
         h = ResnetBlock2D(mid, use_temb=False, dtype=self.dtype, name="mid_resnet_1")(h)
-        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="conv_norm_out")(
+            h, activate=True
+        )
         return nn.Conv(
             2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype,
             name="conv_out",
@@ -124,8 +125,9 @@ class Decoder(nn.Module):
                 )(h)
             if i < n - 1:
                 h = Upsample2D(out_ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)
-        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(32, 1e-6, dtype=self.dtype, name="conv_norm_out")(
+            h, activate=True
+        )
         return nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(h)
