@@ -94,7 +94,9 @@ def _flash_kernel(
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
-def _flash_forward(q: Array, k: Array, v: Array, scale: float) -> Array:
+def _flash_forward(
+    q: Array, k: Array, v: Array, scale: float, interpret: bool = False
+) -> Array:
     """q (BH, Sq, D), k/v (BH, Sk, D) -> (BH, Sq, D). Pads internally."""
     bh, sq, d = q.shape
     sk = k.shape[1]
@@ -150,6 +152,7 @@ def _flash_forward(q: Array, k: Array, v: Array, scale: float) -> Array:
             bytes_accessed=2 * bh * (sq_p + 2 * sk_p) * d_p * q.dtype.itemsize,
             transcendentals=bh * sq_p * sk_p,
         ),
+        interpret=interpret,
     )(sk_arr, qp, kp, vp)
     return out[:, :sq, :d]
 
@@ -160,22 +163,24 @@ def _xla_bshd(q, k, v, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", w, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash_bshd(q: Array, k: Array, v: Array, scale: float) -> Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_bshd(
+    q: Array, k: Array, v: Array, scale: float, interpret: bool = False
+) -> Array:
     b, sq, h, d = q.shape
     sk = k.shape[1]
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
-    of = _flash_forward(qf, kf, vf, scale)
+    of = _flash_forward(qf, kf, vf, scale, interpret)
     return of.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
 
-def _flash_fwd(q, k, v, scale):
-    return _flash_bshd(q, k, v, scale), (q, k, v)
+def _flash_fwd(q, k, v, scale, interpret):
+    return _flash_bshd(q, k, v, scale, interpret), (q, k, v)
 
 
-def _flash_bwd(scale, res, g):
+def _flash_bwd(scale, _interpret, res, g):
     # Backward = recompute with differentiable XLA ops; memory is fine at
     # latent-grid sequence lengths and it keeps one kernel to maintain.
     q, k, v = res
@@ -187,20 +192,26 @@ _flash_bshd.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(
-    q: Array, k: Array, v: Array, *, scale: float | None = None
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    scale: float | None = None,
+    interpret: bool = False,
 ) -> Array | None:
     """Flash attention over (B, S, H, D); returns None if unsupported.
 
     The None return lets the dispatch wrapper fall back to XLA without this
-    module needing to know about it.
+    module needing to know about it. ``interpret=True`` runs the kernel in
+    the Pallas interpreter (CPU CI).
     """
     if q.ndim != 4 or k.ndim != 4 or v.ndim != 4:
         return None
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not interpret:
         return None
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _flash_bshd(q, k, v, scale)
+    return _flash_bshd(q, k, v, scale, interpret)
 
 
 __all__ = ["flash_attention"]

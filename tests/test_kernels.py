@@ -1,0 +1,101 @@
+"""Pallas kernel tests in interpreter mode (CPU CI; the same kernels are
+benchmarked on hardware — see BENCHNOTES.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gmdx.kernels.attention import _xla_attention, dot_product_attention
+from gmdx.kernels.flash_attention import flash_attention
+from gmdx.kernels.groupnorm import fused_group_norm_silu
+
+
+class TestFlashAttention:
+    def test_self_attention_matches_xla(self):
+        q = jax.random.normal(jax.random.key(0), (2, 256, 4, 40))
+        out = flash_attention(q, q, q, interpret=True)
+        ref = _xla_attention(q, q, q, 40**-0.5)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+
+    def test_cross_attention_masked_tail(self):
+        """Sk=77 needs key masking (padded to 128); parity with XLA."""
+        q = jax.random.normal(jax.random.key(0), (1, 64, 2, 40))
+        k = jax.random.normal(jax.random.key(1), (1, 77, 2, 40))
+        v = jax.random.normal(jax.random.key(2), (1, 77, 2, 40))
+        out = flash_attention(q, k, v, interpret=True)
+        ref = _xla_attention(q, k, v, 40**-0.5)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+
+    def test_multiblock_k(self):
+        """Sk spanning several 1024-wide key blocks exercises the online
+        softmax correction."""
+        q = jax.random.normal(jax.random.key(0), (1, 128, 2, 64))
+        k = jax.random.normal(jax.random.key(1), (1, 2048, 2, 64)) * 4.0
+        v = jax.random.normal(jax.random.key(2), (1, 2048, 2, 64))
+        out = flash_attention(q, k, v, interpret=True)
+        ref = _xla_attention(q, k, v, 64**-0.5)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+
+    def test_grad_flows_through_dispatch(self):
+        q = jax.random.normal(jax.random.key(0), (1, 32, 2, 8))
+
+        def loss(q):
+            return jnp.sum(dot_product_attention(q, q, q) ** 2)
+
+        g = jax.grad(loss)(q)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
+
+
+class TestFusedGroupNorm:
+    @staticmethod
+    def _ref(x, scale, bias, G, eps=1e-5, act=True):
+        b, h, w, c = x.shape
+        xf = x.astype(jnp.float32).reshape(b, h * w, G, c // G)
+        mean = xf.mean(axis=(1, 3), keepdims=True)
+        var = xf.var(axis=(1, 3), keepdims=True)
+        y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
+        y = y * scale + bias
+        if act:
+            y = y * jax.nn.sigmoid(y)
+        return y.astype(x.dtype)
+
+    @pytest.mark.parametrize(
+        "shape,groups",
+        [((2, 8, 8, 128), 32), ((1, 16, 16, 256), 32), ((1, 8, 8, 1280), 32)],
+    )
+    def test_matches_reference(self, shape, groups):
+        x = jax.random.normal(jax.random.key(0), shape) * 3 + 1
+        scale = jax.random.normal(jax.random.key(1), (shape[-1],))
+        bias = jax.random.normal(jax.random.key(2), (shape[-1],))
+        got = fused_group_norm_silu(
+            x, scale, bias, num_groups=groups, interpret=True
+        )
+        want = self._ref(x, scale, bias, groups)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+
+    def test_no_activation(self):
+        x = jax.random.normal(jax.random.key(0), (1, 8, 8, 128))
+        s, b = jnp.ones(128), jnp.zeros(128)
+        got = fused_group_norm_silu(
+            x, s, b, num_groups=32, activate=False, interpret=True
+        )
+        want = self._ref(x, s, b, 32, act=False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+
+    def test_unsupported_shapes_fall_back(self):
+        # 100 channels: not a lane multiple -> None (jnp path).
+        assert fused_group_norm_silu(
+            jnp.zeros((1, 4, 4, 100)), jnp.ones(100), jnp.zeros(100)
+        ) is None
