@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 A100_BASELINE_IMG_PER_S = 0.33
 
-BATCH = int(os.environ.get("GMDX_BENCH_BATCH", "4"))
+BATCH = int(os.environ.get("GMDX_BENCH_BATCH", "8"))
 STEPS = int(os.environ.get("GMDX_BENCH_STEPS", "50"))
 HEIGHT = WIDTH = int(os.environ.get("GMDX_BENCH_RES", "512"))
 REPEATS = int(os.environ.get("GMDX_BENCH_REPEATS", "3"))
