@@ -1,0 +1,152 @@
+"""Data pipeline tests: parquet schema, paired transforms, dataloader
+batching/determinism, flip pairing."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from gmdx.data import (
+    ParquetImageDataset,
+    make_dataloader,
+    paired_crop,
+    preprocess_pair,
+    resize_shorter_side,
+    to_model_range,
+)
+from gmdx.data.parquet import write_parquet_dataset
+from gmdx.models import CLIPTokenizer
+
+
+@pytest.fixture(scope="module")
+def parquet_path(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.default_rng(0)
+    sdrs, gms, texts = [], [], []
+    for i in range(6):
+        p = str(root / f"s{i}.png")
+        Image.fromarray(
+            rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)
+        ).save(p)
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)
+        ).save(buf, "PNG")
+        sdrs.append(p)
+        gms.append(buf.getvalue())
+        texts.append(f"caption {i}")
+    path = str(root / "meta.parquet")
+    write_parquet_dataset(path, sdrs, gms, texts)
+    return path
+
+
+class TestDataset:
+    def test_schema_enforced(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        bad = str(tmp_path / "bad.parquet")
+        pq.write_table(pa.table({"image": ["x"], "text": ["y"]}), bad)
+        with pytest.raises(ValueError, match="missing columns"):
+            ParquetImageDataset(bad)
+
+    def test_load_pair(self, parquet_path):
+        ds = ParquetImageDataset(parquet_path)
+        assert len(ds) == 6
+        sdr, gm, text = ds.load_pair(0)
+        assert sdr.size == (100, 80) and gm.size == (100, 80)
+        assert text == "caption 0"
+
+
+class TestTransforms:
+    def test_resize_shorter_side(self):
+        img = Image.new("RGB", (100, 80))
+        out = resize_shorter_side(img, 64)
+        assert min(out.size) == 64 and out.size == (80, 64)
+
+    def test_paired_crop_same_window(self):
+        rng = np.random.default_rng(0)
+        a = rng.random((40, 40, 3))
+        a2, b2 = paired_crop(a, a.copy(), 16, rng=rng, center=False)
+        np.testing.assert_array_equal(a2, b2)
+
+    def test_paired_crop_shape_mismatch_raises(self):
+        with pytest.raises(ValueError, match="disagree"):
+            paired_crop(np.zeros((10, 10, 3)), np.zeros((12, 10, 3)), 8)
+
+    def test_to_model_range(self):
+        x = np.full((4, 4, 3), 255, np.uint8)
+        out = to_model_range(x)
+        assert out.shape == (3, 4, 4)
+        np.testing.assert_allclose(out, 1.0)
+
+    def test_flip_applies_to_both(self):
+        """One flip draw must hit SDR and GM together (unlike the
+        reference's independent flips)."""
+        rng_img = np.random.default_rng(1)
+        sdr = Image.fromarray(
+            rng_img.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        )
+        gm = Image.fromarray(
+            rng_img.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        )
+        flipped_any = False
+        for seed in range(8):
+            rng = np.random.default_rng(seed)
+            a, b = preprocess_pair(
+                sdr, gm, 32, random_flip=True, rng=rng, center_crop=True
+            )
+            rng2 = np.random.default_rng(seed)
+            a0, b0 = preprocess_pair(
+                sdr, gm, 32, random_flip=False, rng=rng2, center_crop=True
+            )
+            a_flipped = not np.array_equal(a, a0)
+            b_flipped = not np.array_equal(b, b0)
+            assert a_flipped == b_flipped  # both or neither
+            flipped_any = flipped_any or a_flipped
+        assert flipped_any  # the gate actually triggers sometimes
+
+
+class TestDataloader:
+    def test_batches_and_shapes(self, parquet_path):
+        ds = ParquetImageDataset(parquet_path)
+        tok = CLIPTokenizer.tiny()
+        loader = make_dataloader(
+            ds, tok, batch_size=2, resolution=32, num_epochs=1, seed=0
+        )
+        batches = list(loader)
+        assert len(batches) == 3  # 6 samples / batch 2
+        b = batches[0]
+        assert b["pixel_values"].shape == (2, 3, 32, 32)
+        assert b["gainmap_values"].shape == (2, 3, 32, 32)
+        assert b["input_ids"].shape == (2, 77)
+        assert b["pixel_values"].min() >= -1.0 and b["pixel_values"].max() <= 1.0
+
+    def test_deterministic_given_seed(self, parquet_path):
+        ds = ParquetImageDataset(parquet_path)
+        tok = CLIPTokenizer.tiny()
+
+        def first_batch(seed):
+            return next(
+                iter(
+                    make_dataloader(
+                        ds, tok, batch_size=2, resolution=32,
+                        num_epochs=1, seed=seed,
+                    )
+                )
+            )
+
+        a, b = first_batch(7), first_batch(7)
+        np.testing.assert_array_equal(a["pixel_values"], b["pixel_values"])
+        c = first_batch(8)
+        assert not np.array_equal(a["pixel_values"], c["pixel_values"])
+
+    def test_drops_ragged_batch(self, parquet_path):
+        ds = ParquetImageDataset(parquet_path)
+        tok = CLIPTokenizer.tiny()
+        loader = make_dataloader(
+            ds, tok, batch_size=4, resolution=32, num_epochs=1, seed=0
+        )
+        batches = list(loader)
+        assert len(batches) == 1  # 6 // 4

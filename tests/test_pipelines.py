@@ -314,3 +314,31 @@ class TestSafetyChecker:
                    num_inference_steps=2)
         assert calls["n"] == 1
         assert (img == 0).all()
+
+
+class TestDualBatchGreaterThanOne:
+    def test_gm_context_sliced_by_batch(self, components):
+        """At batch 2 under CFG, the GM branch must see exactly the 2
+        conditional embeddings — the reference's [1:] mis-slice would pass 3
+        (SURVEY.md §3.4; fixed per its own Vis subclass)."""
+        _, _, vae, text, tok, params = components
+
+        seen = {}
+
+        class RecordingProbe:
+            def apply(self, variables, sample, t, context):
+                seen["gm_ctx_batch"] = context.shape[0]
+                return jnp.zeros_like(sample[:, 4:8])
+
+        pipe = StableDiffusionDualUNetPipeline(
+            ProbeUNet4(), vae, text, tok, PNDMScheduler(),
+            gm_unet=RecordingProbe(),
+        )
+        p = dict(params)
+        p["gm_unet"] = {}
+        sdr, gm = pipe(
+            p, ["a", "b"], key=jax.random.key(0), height=32, width=32,
+            num_inference_steps=2, guidance_scale=7.5, output_type="latent",
+        )
+        assert seen["gm_ctx_batch"] == 2
+        assert sdr.shape == (2, 4, 4, 4) and gm.shape == (2, 4, 4, 4)
