@@ -43,6 +43,20 @@ class StableDiffusionControlNetHDRPipeline(StableDiffusionDualUNetPipeline):
     # them into denoise_dual without duplicating it.
     _control_kwargs: Optional[dict] = None
 
+    @functools.cached_property
+    def _denoise_control_jit(self):
+        return jax.jit(
+            self._denoise_control_impl,
+            static_argnames=(
+                "conditioning_scale",
+                "num_inference_steps",
+                "guidance_scale",
+                "guidance_rescale",
+                "eta",
+                "return_intermediates",
+            ),
+        )
+
     def denoise_dual(
         self,
         params,
@@ -59,6 +73,9 @@ class StableDiffusionControlNetHDRPipeline(StableDiffusionDualUNetPipeline):
         step_keys: Optional[Array] = None,
         return_intermediates: bool = False,
     ):
+        # Resolve the __call__-stashed control kwargs OUTSIDE the jitted
+        # impl (a closure read inside jit would bake the first control
+        # image into the cached trace).
         if control_image is None and self._control_kwargs:
             control_image = self._control_kwargs.get("control_image")
             conditioning_scale = self._control_kwargs.get(
@@ -72,7 +89,38 @@ class StableDiffusionControlNetHDRPipeline(StableDiffusionDualUNetPipeline):
                 guidance_rescale=guidance_rescale, eta=eta,
                 step_keys=step_keys, return_intermediates=return_intermediates,
             )
+        if step_keys is None:
+            step_keys = jax.random.split(
+                jax.random.key(0), self._num_steps(num_inference_steps)
+            )
+        return self._denoise_control_jit(
+            params, prompt_embeds, negative_prompt_embeds, latents,
+            control_image,
+            conditioning_scale=float(conditioning_scale),
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            guidance_rescale=guidance_rescale,
+            eta=eta,
+            step_keys=step_keys,
+            return_intermediates=return_intermediates,
+        )
 
+    def _denoise_control_impl(
+        self,
+        params,
+        prompt_embeds: Array,
+        negative_prompt_embeds: Optional[Array],
+        latents: Array,
+        control_image: Array,
+        *,
+        conditioning_scale: float = 1.0,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        guidance_rescale: float = 0.0,
+        eta: float = 0.0,
+        step_keys: Optional[Array] = None,
+        return_intermediates: bool = False,
+    ):
         do_cfg = negative_prompt_embeds is not None
         context = (
             jnp.concatenate([negative_prompt_embeds, prompt_embeds])

@@ -55,7 +55,50 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
         )
         return noise * self.scheduler.init_noise_sigma
 
+    @functools.cached_property
+    def _denoise_dual_jit(self):
+        # Same rationale as StableDiffusionGMPipeline._denoise_jit: weights
+        # as arguments, not baked constants.
+        return jax.jit(
+            self._denoise_dual_impl,
+            static_argnames=(
+                "num_inference_steps",
+                "guidance_scale",
+                "guidance_rescale",
+                "eta",
+                "return_intermediates",
+            ),
+        )
+
     def denoise_dual(
+        self,
+        params,
+        prompt_embeds: Array,
+        negative_prompt_embeds: Optional[Array],
+        latents: Array,
+        *,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        guidance_rescale: float = 0.0,
+        eta: float = 0.0,
+        step_keys: Optional[Array] = None,
+        return_intermediates: bool = False,
+    ):
+        if step_keys is None:
+            step_keys = jax.random.split(
+                jax.random.key(0), self._num_steps(num_inference_steps)
+            )
+        return self._denoise_dual_jit(
+            params, prompt_embeds, negative_prompt_embeds, latents,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            guidance_rescale=guidance_rescale,
+            eta=eta,
+            step_keys=step_keys,
+            return_intermediates=return_intermediates,
+        )
+
+    def _denoise_dual_impl(
         self,
         params,
         prompt_embeds: Array,

@@ -185,7 +185,53 @@ class StableDiffusionGMPipeline:
         except TypeError:
             return self.scheduler.init_state(num_inference_steps)
 
+    @functools.cached_property
+    def _denoise_jit(self):
+        # Params enter as jit ARGUMENTS: closing over them would bake multi-GB
+        # weight constants into the lowering (slow compile, re-lowered per
+        # params object). One cached executable per (shapes, static config).
+        return jax.jit(
+            self._denoise_impl,
+            static_argnames=(
+                "num_inference_steps",
+                "guidance_scale",
+                "guidance_rescale",
+                "eta",
+                "return_intermediates",
+            ),
+        )
+
     def denoise(
+        self,
+        params,
+        sdr_latent: Array,
+        prompt_embeds: Array,
+        negative_prompt_embeds: Optional[Array],
+        latents: Array,
+        *,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        guidance_rescale: float = 0.0,
+        eta: float = 0.0,
+        step_keys: Optional[Array] = None,
+        return_intermediates: bool = False,
+    ):
+        if step_keys is None:
+            step_keys = jax.random.split(
+                jax.random.key(0), self._num_steps(num_inference_steps)
+            )
+        return self._denoise_jit(
+            params, sdr_latent, prompt_embeds, negative_prompt_embeds,
+            latents,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            guidance_rescale=guidance_rescale,
+            eta=eta,
+            step_keys=step_keys,
+            return_intermediates=return_intermediates,
+        )
+
+    def _denoise_impl(
         self,
         params,
         sdr_latent: Array,
