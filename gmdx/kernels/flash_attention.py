@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import functools
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -28,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 _NEG_INF = -1e30
+_LOG2_E = math.log2(math.e)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -72,11 +75,15 @@ def _flash_kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kidx * blk_k
         s = jnp.where(col < sk_ref[0], s, _NEG_INF)
 
+    # Base-2 softmax: log2(e) is folded into the Q pre-scale, so logits are
+    # already in log2 space and the VPU runs the native exp2 without the
+    # per-element base-change multiply. Numerator and denominator share the
+    # base, so the normalized weights are unchanged.
     m_prev = m_scr[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    corr = jnp.exp2(m_prev - m_new)
 
     l_scr[:] = jnp.broadcast_to(
         corr * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
@@ -108,10 +115,10 @@ def _flash_forward(
     sk_p = _round_up(sk, blk_k)
     d_p = _round_up(d, 128)
 
-    # Fold the softmax scale into Q once (one pass over Q) instead of
-    # multiplying every (Sq, Sk) logit inside the kernel.
+    # Fold the softmax scale AND the exp->exp2 base change into Q once (one
+    # pass over Q) instead of touching every (Sq, Sk) logit inside the kernel.
     qp = jnp.pad(
-        (q.astype(jnp.float32) * scale).astype(dtype),
+        (q.astype(jnp.float32) * (scale * _LOG2_E)).astype(dtype),
         ((0, 0), (0, sq_p - sq), (0, d_p - d)),
     )
     kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, d_p - d)))
