@@ -17,7 +17,7 @@ adapter starts as an exact no-op.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -31,7 +31,7 @@ from gmdx.models.lora import LoRAConfig, merge_lora
 from gmdx.models.vgg import perceptual_loss as vgg_feature_mse
 from gmdx.models.vgg import resize_for_vgg
 from gmdx.ops import apply_gm_to_sdr, gamut_compress
-from gmdx.train.ema import EMAConfig, EMAState, ema_init, ema_update
+from gmdx.train.ema import EMAConfig, EMAState, ema_update
 
 Array = jax.Array
 

@@ -18,7 +18,6 @@ keeps parity.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Optional
 
 import jax

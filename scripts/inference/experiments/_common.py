@@ -52,8 +52,6 @@ def load_dual_pipeline(pipeline_dir: str, scheduler: str = "pndm",
 def load_gm_pipeline(pipeline_dir: str, scheduler: str = "pndm",
                      dtype=None):
     """Load the single-UNet GM pipeline (8-ch unet) + params."""
-    import dataclasses as _dc
-
     from gmdx.io.pipeline import load_pipeline
     from gmdx.pipelines import StableDiffusionGMPipeline
     from gmdx.schedulers import SCHEDULERS

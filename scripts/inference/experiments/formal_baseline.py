@@ -7,7 +7,6 @@ scheduler, 50 steps, seed 42, qmax=99, latent output + manual decode.
 from __future__ import annotations
 
 import argparse
-import os
 
 from _common import BASELINE_PROMPTS, export_hdr_outputs, load_dual_pipeline
 

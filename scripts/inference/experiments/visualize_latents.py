@@ -31,7 +31,6 @@ def main():
     args = p.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
     from gmdx.io import save_image
 

@@ -41,10 +41,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
-
     from gmdx.io import load_image, save_hdr_image, save_image
-    from gmdx.io.pipeline import load_component, load_pipeline
+    from gmdx.io.pipeline import load_pipeline
     from gmdx.models import (
         ControlNetConfig,
         ControlNetModel,

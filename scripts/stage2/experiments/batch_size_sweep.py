@@ -44,7 +44,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from gmdx.io import load_image, to_model_input
+    from gmdx.io import load_image
 
     pipe, params = load_gm_pipeline(
         args.pretrained_model_name_or_path, dtype=jnp.bfloat16
