@@ -101,6 +101,9 @@ def make_dataloader(
             epoch += 1
 
     def producer(out_q: "queue.Queue"):
+        # A producer failure (missing file, corrupt image bytes) must reach
+        # the training loop as an exception — a bare end-sentinel would make
+        # a mid-run crash look like normal dataset completion.
         try:
             for epoch, order in epochs():
                 for start in range(0, n - batch_size + 1, batch_size):
@@ -111,7 +114,9 @@ def make_dataloader(
                         k: np.stack([it[k] for it in items]) for k in items[0]
                     }
                     out_q.put(batch)
-        finally:
+        except BaseException as e:  # noqa: BLE001 — forwarded to consumer
+            out_q.put(e)
+        else:
             out_q.put(None)
 
     q: "queue.Queue" = queue.Queue(maxsize=max(2, num_workers))
@@ -123,6 +128,8 @@ def make_dataloader(
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     return gen()

@@ -53,10 +53,16 @@ def paired_crop(
 
 
 def to_model_range(img: np.ndarray) -> np.ndarray:
-    """uint8/float [0,255]|[0,1] HWC -> float32 [-1, 1] CHW."""
-    x = np.asarray(img, np.float32)
-    if x.max() > 1.5:
-        x = x / 255.0
+    """uint8 [0,255] or float [0,1] HWC -> float32 [-1, 1] CHW.
+
+    Dispatch is by DTYPE, not by pixel max — a max() heuristic silently
+    saturates near-black uint8 images (e.g. a gain map whose brightest
+    pixel is 1/255)."""
+    arr = np.asarray(img)
+    if np.issubdtype(arr.dtype, np.integer):
+        x = arr.astype(np.float32) / float(np.iinfo(arr.dtype).max)
+    else:
+        x = arr.astype(np.float32)
     x = x * 2.0 - 1.0
     return np.transpose(x, (2, 0, 1))
 

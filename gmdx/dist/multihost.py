@@ -32,8 +32,13 @@ def initialize(
     unconditionally from the CLIs. TPU pod environments autodetect all
     arguments; explicit values are for DCN/GPU-style bring-up.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized by the runtime
+    # NOTE: do NOT touch jax.process_count()/devices() before initialize() —
+    # any backend-initializing call makes jax.distributed.initialize() raise
+    # unconditionally and every host would silently run single-host.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return True  # already joined (e.g. by the launcher)
     try:
         if coordinator_address is not None:
             jax.distributed.initialize(
@@ -49,8 +54,20 @@ def initialize(
             jax.local_device_count(), jax.device_count(),
         )
         return True
-    except Exception as e:  # single-host or no coordinator: stay local
-        logger.debug("jax.distributed.initialize skipped: %s", e)
+    except Exception as e:
+        # Single-host runs land here (no coordinator in the environment) —
+        # that is normal. A backend-already-initialized error is NOT normal:
+        # it means initialize() was called too late and a real multi-host
+        # job would split into disjoint single-host jobs; surface it loudly.
+        msg = str(e)
+        if "initialise" in msg or "initialized" in msg:
+            logger.warning(
+                "jax.distributed.initialize failed because the XLA backend "
+                "was already initialized — call gmdx.dist.initialize() "
+                "before any other JAX use: %s", e,
+            )
+        else:
+            logger.debug("jax.distributed.initialize skipped: %s", e)
         return False
 
 

@@ -31,12 +31,15 @@ def save_image(path: str, rgb: np.ndarray) -> None:
     Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8)).save(path)
 
 
-def to_model_input(rgb01: np.ndarray) -> np.ndarray:
-    """[0, 1] HWC -> [-1, 1] NCHW float32 (the VAE's expected range/layout)."""
-    x = np.asarray(rgb01, dtype=np.float32) * 2.0 - 1.0
+def to_model_input(rgb: np.ndarray) -> np.ndarray:
+    """[0, 1]-float or uint8 HWC -> [-1, 1] NCHW float32 (the VAE's
+    range/layout). Single range conversion shared with the data pipeline."""
+    from gmdx.data.transforms import to_model_range
+
+    x = np.asarray(rgb)
     if x.ndim == 3:
-        x = x[None]
-    return np.transpose(x, (0, 3, 1, 2))
+        return to_model_range(x)[None]
+    return np.stack([to_model_range(im) for im in x])
 
 
 def from_model_output(x: np.ndarray) -> np.ndarray:

@@ -63,6 +63,7 @@ def save_scheduler(dirpath: str, scheduler) -> None:
         "solver_order",
         "lower_order_final",
         "use_karras_sigmas",
+        "final_sigmas_type",
     ):
         if hasattr(scheduler, extra):
             cfg[extra] = getattr(scheduler, extra)

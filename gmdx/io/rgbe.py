@@ -149,7 +149,17 @@ def read_hdr(path: str) -> np.ndarray:
     pos = res_end + 1
     rgbe = np.empty((h, w, 4), dtype=np.uint8)
     for y in range(h):
-        if w >= 8 and buf[pos] == 2 and buf[pos + 1] == 2:
+        # New-RLE scanline header: (2, 2, hi, lo) where hi<0x80 and
+        # (hi<<8)|lo == width. Checking only the leading (2, 2) would
+        # misparse flat files whose first pixel is r=2, g=2.
+        if (
+            w >= 8
+            and w < 32768
+            and buf[pos] == 2
+            and buf[pos + 1] == 2
+            and buf[pos + 2] & 0x80 == 0
+            and ((buf[pos + 2] << 8) | buf[pos + 3]) == w
+        ):
             pos += 4
             rgbe[y], pos = _read_rle_scanline(buf, pos, w)
         else:

@@ -25,9 +25,11 @@ _tried = False
 
 
 def ensure_built(quiet: bool = True) -> bool:
-    """Build the shared library if missing; True if it exists afterwards."""
-    if os.path.exists(_LIB_PATH):
-        return True
+    """Build (or rebuild) the shared library; True if it exists afterwards.
+
+    Always invokes make — it is a no-op when the .so is newer than the
+    sources, and skipping it would keep serving a stale binary after a
+    source change."""
     try:
         subprocess.run(
             ["make", "-C", _NATIVE_DIR],
@@ -36,7 +38,7 @@ def ensure_built(quiet: bool = True) -> bool:
             timeout=120,
         )
     except Exception:
-        return False
+        pass  # no toolchain: fall through to the existence check
     return os.path.exists(_LIB_PATH)
 
 

@@ -52,17 +52,25 @@ def get_guidance_scale_embedding(
     return emb.astype(dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _step_kwarg_names(sched_cls) -> frozenset:
+    import inspect
+
+    return frozenset(inspect.signature(sched_cls.step).parameters)
+
+
 def scheduler_step(sched, state, eps, latents, *, key=None, eta: float = 0.0):
     """Dispatch a scheduler step across the family's signatures: DDIM takes
-    (eta, key), DDPM takes key, PNDM/DPM++ take neither."""
-    try:
-        return sched.step(state, eps, latents, key=key, eta=eta)
-    except TypeError:
-        pass
-    try:
-        return sched.step(state, eps, latents, key=key)
-    except TypeError:
-        return sched.step(state, eps, latents)
+    (eta, key), DDPM takes key, PNDM/DPM++ take neither. Dispatch inspects
+    the signature — catching TypeError would swallow real errors raised
+    inside a matching step() and silently retry without eta/key."""
+    names = _step_kwarg_names(type(sched))
+    kwargs = {}
+    if "key" in names:
+        kwargs["key"] = key
+    if "eta" in names:
+        kwargs["eta"] = eta
+    return sched.step(state, eps, latents, **kwargs)
 
 
 @dataclasses.dataclass

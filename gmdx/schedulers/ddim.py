@@ -101,7 +101,11 @@ class DDIMScheduler:
         prev_sample = jnp.sqrt(alpha_prod_prev) * x0 + dir_xt
         if eta > 0.0:
             if key is None:
-                key = jax.random.key(0)
+                raise ValueError(
+                    "DDIMScheduler.step with eta > 0 needs a per-step PRNG "
+                    "key (a fixed default would reuse one noise draw across "
+                    "all steps)"
+                )
             noise = jax.random.normal(key, sample.shape, sample.dtype)
             prev_sample = prev_sample + std * noise
 

@@ -108,7 +108,12 @@ class DDPMScheduler:
         # Fixed-small variance, noise only while t > 0.
         variance = jnp.clip(beta_prod_prev / beta_prod_t * current_beta, 1e-20, None)
         if key is None:
-            key = jax.random.key(0)
+            # A silent fixed default would inject the SAME noise tensor at
+            # every ancestral step — correlated-noise artifacts, no error.
+            raise ValueError(
+                "DDPMScheduler.step needs a per-step PRNG key "
+                "(ancestral sampling adds fresh noise each step)"
+            )
         noise = jax.random.normal(key, sample.shape, sample.dtype)
         prev_sample = prev_sample + jnp.where(t > 0, jnp.sqrt(variance), 0.0) * noise
 

@@ -47,8 +47,14 @@ class DPMSolverMultistepScheduler:
         thresholding: bool = False,
         lower_order_final: bool = True,
         use_karras_sigmas: bool = False,
+        final_sigmas_type: str = "zero",
         **kwargs,
     ):
+        if final_sigmas_type not in ("zero", "sigma_min"):
+            raise ValueError(
+                f"final_sigmas_type must be 'zero' or 'sigma_min', got "
+                f"{final_sigmas_type!r}"
+            )
         if algorithm_type != "dpmsolver++":
             raise NotImplementedError("only algorithm_type='dpmsolver++'")
         if solver_order not in (1, 2):
@@ -63,6 +69,7 @@ class DPMSolverMultistepScheduler:
         self.solver_order = solver_order
         self.lower_order_final = lower_order_final
         self.use_karras_sigmas = use_karras_sigmas
+        self.final_sigmas_type = final_sigmas_type
         self.betas = base.make_betas(self.config)
         self.alphas_cumprod = jnp.cumprod(1.0 - self.betas)
         # VP-SDE half-log-SNR parameterization.
@@ -142,6 +149,13 @@ class DPMSolverMultistepScheduler:
             prev_sample = first
         else:
             prev_sample = jnp.where(use_first, first, second)
+
+        if self.final_sigmas_type == "zero":
+            # diffusers default: the last transfer targets sigma = 0, where
+            # the DPM-Solver++ update degenerates to the x0 prediction
+            # (lambda -> inf, expm1(-h) -> -1). Clamping to t=0 instead
+            # (sigma ~ 0.029) would leave visible noise in the output.
+            prev_sample = jnp.where(i == n - 1, x0, prev_sample)
 
         new_state = dataclasses.replace(
             state, step_index=i + 1, prev_x0=x0

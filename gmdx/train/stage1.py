@@ -166,25 +166,31 @@ def make_gen_step(
             recon, perc, adv = losses(trainables)
 
             # Adaptive weight: grad-norm ratio at the conv_out kernel
-            # (reference :1165-1174). Differentiating w.r.t. only the kernel
-            # keeps the extra backward passes short; the weight itself is a
-            # constant (stop_grad) in the loss.
-            def at_kernel(sel):
-                def f(kernel):
-                    t = dict(trainables)
-                    co = dict(t["conv_out"])
-                    co["kernel"] = kernel
-                    t["conv_out"] = co
-                    _, p, a = losses(t)
-                    return p if sel == "perc" else a
+            # (reference :1165-1174). One jax.vjp shares a single forward
+            # between the two backward probes (two separate jax.grad
+            # closures would trace two more full forwards and rely on XLA
+            # CSE to merge them); the weight itself is a constant
+            # (stop_grad) in the loss.
+            def perc_adv_of_kernel(kernel):
+                t = dict(trainables)
+                co = dict(t["conv_out"])
+                co["kernel"] = kernel
+                t["conv_out"] = co
+                _, p, a = losses(t)
+                return p, a
 
-                return jnp.linalg.norm(
-                    jax.lax.stop_gradient(
-                        jax.grad(f)(trainables["conv_out"]["kernel"])
-                    )
-                )
+            _, kernel_vjp = jax.vjp(
+                perc_adv_of_kernel, trainables["conv_out"]["kernel"]
+            )
+            one, zero = jnp.ones(()), jnp.zeros(())
 
-            adaptive = at_kernel("perc") / jnp.maximum(at_kernel("adv"), 1e-8)
+            def grad_norm(cotangents):
+                (g,) = kernel_vjp(cotangents)
+                return jnp.linalg.norm(jax.lax.stop_gradient(g))
+
+            adaptive = grad_norm((one, zero)) / jnp.maximum(
+                grad_norm((zero, one)), 1e-8
+            )
             adaptive = jnp.minimum(adaptive, config.adaptive_weight_max)
             loss = recon + perc + adaptive * adv
             return loss, {

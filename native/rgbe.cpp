@@ -169,8 +169,11 @@ int gmdx_rgbe_read(const char* path, long data_pos, float* out, int h, int w) {
   size_t pos = 0;
   for (int y = 0; y < h; ++y) {
     if (pos >= data.size()) return -5;
-    if (w >= 8 && w < 32768 && data[pos] == 2 && pos + 1 < data.size() &&
-        data[pos + 1] == 2) {
+    // New-RLE header is (2, 2, hi, lo) with hi < 0x80 and (hi<<8)|lo == w;
+    // a flat file whose first pixel is r=2, g=2 must not be misparsed.
+    if (w >= 8 && w < 32768 && pos + 3 < data.size() && data[pos] == 2 &&
+        data[pos + 1] == 2 && (data[pos + 2] & 0x80) == 0 &&
+        ((data[pos + 2] << 8) | data[pos + 3]) == w) {
       pos += 4;  // marker + 16-bit width
       for (int c = 0; c < 4; ++c) {
         int x = 0;

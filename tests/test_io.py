@@ -99,3 +99,24 @@ class TestImageHelpers:
         save_hdr_image(p, hdr, qmax=99.0)
         back = read_hdr(p)
         np.testing.assert_allclose(back, 0.5, rtol=1e-2)
+
+
+class TestRGBEFlatAmbiguity:
+    def test_flat_file_with_22_prefix_pixel(self, tmp_path):
+        """A flat-encoded .hdr whose first pixel bytes start (2, 2) must not
+        be misparsed as a new-RLE scanline (header requires hi<0x80 and
+        (hi<<8)|lo == width)."""
+        import numpy as np
+
+        from gmdx.io.rgbe import _HEADER, read_hdr, rgbe_decode, rgbe_encode
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0.001, 1, (4, 16, 3)).astype(np.float32)
+        rgbe = rgbe_encode(img)
+        rgbe[0, 0] = [2, 2, 50, 130]  # dim pixel with the ambiguous prefix
+        p = str(tmp_path / "flat22.hdr")
+        with open(p, "wb") as f:
+            f.write(_HEADER)
+            f.write(b"-Y 4 +X 16\n")
+            f.write(rgbe.tobytes())
+        np.testing.assert_allclose(read_hdr(p), rgbe_decode(rgbe))

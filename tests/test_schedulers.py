@@ -334,9 +334,26 @@ class TestDPM:
             return xt
 
         xt = run()
-        # Endpoint is the t=0 path point (alphas_cumprod[0] = 0.99915).
+        # final_sigmas_type="zero" (diffusers default): the last transfer
+        # targets sigma = 0, so a perfect-eps trajectory lands exactly on x0
+        # — not on the t=0 path point, which still carries sigma~0.029 noise.
+        assert float(jnp.mean((xt - x0) ** 2)) < 1e-4
+
+    def test_final_sigmas_sigma_min_keeps_t0_noise(self, x0_eps):
+        """final_sigmas_type='sigma_min' reproduces the clamp-to-t0 endpoint."""
+        x0, eps = x0_eps
+        sched = DPMSolverMultistepScheduler(final_sigmas_type="sigma_min")
+        n = 20
+        state = sched.init_state(n, SHAPE)
+        xt = path_point(sched.alphas_cumprod, x0, eps, state.timesteps[0])
+        for _ in range(n):
+            a = sched.alphas_cumprod[state.timestep]
+            true_eps = (xt - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+            state, xt = sched.step(state, true_eps, xt)
         want = path_point(sched.alphas_cumprod, x0, eps, 0)
-        assert float(jnp.mean((xt - want) ** 2)) < 1e-4
+        assert float(jnp.mean((xt - want) ** 2)) < 1e-3
+        # ...and it is NOT exactly x0 (the residual t=0 noise is the point).
+        assert float(jnp.mean((xt - x0) ** 2)) > 1e-5
 
     def test_first_order_step_formula(self, x0_eps):
         x0, eps = x0_eps
