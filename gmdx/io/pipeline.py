@@ -64,6 +64,9 @@ def save_scheduler(dirpath: str, scheduler) -> None:
         "lower_order_final",
         "use_karras_sigmas",
         "final_sigmas_type",
+        "original_inference_steps",
+        "timestep_scaling",
+        "sigma_data",
     ):
         if hasattr(scheduler, extra):
             cfg[extra] = getattr(scheduler, extra)
@@ -118,6 +121,10 @@ def _build_module(cfg: dict):
         from gmdx.models.clip_text import CLIPTextConfig
 
         return CLIPTextModel(CLIPTextConfig(**cfg))
+    if class_name == "StableDiffusionSafetyChecker":
+        from gmdx.models import CLIPVisionConfig, StableDiffusionSafetyChecker
+
+        return StableDiffusionSafetyChecker(CLIPVisionConfig(**cfg))
     raise ValueError(f"unknown component class {class_name!r}")
 
 
@@ -138,6 +145,7 @@ def load_scheduler(dirpath: str):
         "DDIMScheduler": "ddim",
         "PNDMScheduler": "pndm",
         "DPMSolverMultistepScheduler": "dpm++",
+        "LCMScheduler": "lcm",
     }
     return SCHEDULERS[by_class[class_name]](**cfg)
 

@@ -482,12 +482,126 @@ def export_clip_text_state_dict(params: Dict) -> Dict[str, np.ndarray]:
     return out
 
 
+def convert_safety_checker_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """diffusers StableDiffusionSafetyChecker state dict -> gmdx tree.
+
+    Key space: ``vision_model.vision_model.*`` (CLIP ViT tower, incl. HF's
+    ``pre_layrnorm`` typo), ``visual_projection.weight`` and the four
+    concept-embedding tensors.
+    """
+    out: Dict = {}
+    for key, value in sd.items():
+        value = np.asarray(value)
+        param = key.split(".")[-1]
+        if key in (
+            "concept_embeds",
+            "special_care_embeds",
+            "concept_embeds_weights",
+            "special_care_embeds_weights",
+        ):
+            out[key] = value
+        elif key == "visual_projection.weight":
+            _set(out, "visual_projection/kernel", _linear(value))
+        elif key.startswith("vision_model.vision_model."):
+            rest = key.removeprefix("vision_model.vision_model.")
+            vp = "vision_model"
+            if rest == "embeddings.class_embedding":
+                _set(out, f"{vp}/class_embedding", value)
+            elif rest == "embeddings.patch_embedding.weight":
+                _set(out, f"{vp}/patch_embedding/kernel", _conv(value))
+            elif rest == "embeddings.position_embedding.weight":
+                _set(out, f"{vp}/position_embedding/embedding", value)
+            elif rest == "embeddings.position_ids":
+                continue  # buffer
+            elif rest.startswith("pre_layrnorm."):  # HF typo, kept verbatim
+                _set(out, f"{vp}/pre_layernorm/{_NORM_PARAM[param]}", value)
+            elif rest.startswith("post_layernorm."):
+                _set(out, f"{vp}/post_layernorm/{_NORM_PARAM[param]}", value)
+            elif rest.startswith("encoder.layers."):
+                _, _, i, sub = rest.split(".", 3)
+                lp = f"{vp}/layers_{i}"
+                if sub.startswith("layer_norm1."):
+                    _set(out, f"{lp}/norm1/{_NORM_PARAM[param]}", value)
+                elif sub.startswith("layer_norm2."):
+                    _set(out, f"{lp}/norm2/{_NORM_PARAM[param]}", value)
+                elif sub.startswith("self_attn."):
+                    proj = sub.split(".")[1]
+                    v = _linear(value) if param == "weight" else value
+                    _set(out, f"{lp}/attn/{proj}/{_LINEAR_PARAM[param]}", v)
+                elif sub.startswith("mlp."):
+                    fc = sub.split(".")[1]
+                    v = _linear(value) if param == "weight" else value
+                    _set(out, f"{lp}/{fc}/{_LINEAR_PARAM[param]}", v)
+                else:
+                    raise KeyError(f"unhandled safety-checker key: {key}")
+            else:
+                raise KeyError(f"unhandled safety-checker key: {key}")
+        else:
+            raise KeyError(f"unhandled safety-checker key: {key}")
+    return out
+
+
+def export_safety_checker_state_dict(params: Dict) -> Dict[str, np.ndarray]:
+    out = {}
+    for path, value in _flatten(params).items():
+        parts = path.split("/")
+        param = parts[-1]
+        if parts[0] in (
+            "concept_embeds",
+            "special_care_embeds",
+            "concept_embeds_weights",
+            "special_care_embeds_weights",
+        ):
+            out[parts[0]] = value
+        elif parts[0] == "visual_projection":
+            out["visual_projection.weight"] = _inv_linear(value)
+        elif parts[0] == "vision_model":
+            vp = "vision_model.vision_model"
+            if parts[1] == "class_embedding":
+                out[f"{vp}.embeddings.class_embedding"] = value
+            elif parts[1] == "patch_embedding":
+                out[f"{vp}.embeddings.patch_embedding.weight"] = _inv_conv(value)
+            elif parts[1] == "position_embedding":
+                out[f"{vp}.embeddings.position_embedding.weight"] = value
+            elif parts[1] in ("pre_layernorm", "post_layernorm"):
+                hf = "pre_layrnorm" if parts[1] == "pre_layernorm" else "post_layernorm"
+                p = {"scale": "weight", "bias": "bias"}[param]
+                out[f"{vp}.{hf}.{p}"] = value
+            elif parts[1].startswith("layers_"):
+                i = parts[1].split("_")[1]
+                lp = f"{vp}.encoder.layers.{i}"
+                if parts[2] in ("norm1", "norm2"):
+                    ln = "layer_norm1" if parts[2] == "norm1" else "layer_norm2"
+                    p = {"scale": "weight", "bias": "bias"}[param]
+                    out[f"{lp}.{ln}.{p}"] = value
+                elif parts[2] == "attn":
+                    proj = parts[3]
+                    if param == "kernel":
+                        out[f"{lp}.self_attn.{proj}.weight"] = _inv_linear(value)
+                    else:
+                        out[f"{lp}.self_attn.{proj}.bias"] = value
+                elif parts[2] in ("fc1", "fc2"):
+                    if param == "kernel":
+                        out[f"{lp}.mlp.{parts[2]}.weight"] = _inv_linear(value)
+                    else:
+                        out[f"{lp}.mlp.{parts[2]}.bias"] = value
+                else:
+                    raise KeyError(f"unhandled safety-checker export path {path}")
+            else:
+                raise KeyError(f"unhandled safety-checker export path {path}")
+        else:
+            raise KeyError(f"unhandled safety-checker export path {path}")
+    return out
+
+
 __all__ = [
     "convert_unet_state_dict",
     "convert_vae_state_dict",
     "convert_clip_text_state_dict",
+    "convert_safety_checker_state_dict",
     "export_unet_state_dict",
     "export_vae_state_dict",
     "export_clip_text_state_dict",
+    "export_safety_checker_state_dict",
     "load_torch_safetensors",
 ]

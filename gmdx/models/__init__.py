@@ -33,6 +33,16 @@ from gmdx.models.controlnet import (
     TINY_CONTROLNET_CONFIG,
     controlnet_params_from_unet,
 )
+from gmdx.models.safety_checker import (
+    CLIPVisionModel,
+    CLIPVisionConfig,
+    StableDiffusionSafetyChecker,
+    CLIP_VIT_L_VISION_CONFIG,
+    TINY_VISION_CONFIG,
+    preprocess_for_clip,
+    run_safety_checker,
+    make_safety_checker_fn,
+)
 from gmdx.models.lora import (
     LoRAConfig,
     init_lora_params,
@@ -68,6 +78,14 @@ __all__ = [
     "SD15_CONTROLNET_CONFIG",
     "TINY_CONTROLNET_CONFIG",
     "controlnet_params_from_unet",
+    "CLIPVisionModel",
+    "CLIPVisionConfig",
+    "StableDiffusionSafetyChecker",
+    "CLIP_VIT_L_VISION_CONFIG",
+    "TINY_VISION_CONFIG",
+    "preprocess_for_clip",
+    "run_safety_checker",
+    "make_safety_checker_fn",
     "LoRAConfig",
     "init_lora_params",
     "apply_lora",

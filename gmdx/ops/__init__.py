@@ -12,6 +12,8 @@ from gmdx.ops.tmo import (
     tmo_cuda,
     random_tmo,
     random_tmo_cuda,
+    tmo_2446a,
+    RGB_tmo_2446a,
 )
 from gmdx.ops.reconstruct import apply_gm_to_sdr
 from gmdx.ops.gamut import gamut_compress, BT2020_TO_BT709
@@ -33,6 +35,8 @@ __all__ = [
     "tmo_cuda",
     "random_tmo",
     "random_tmo_cuda",
+    "tmo_2446a",
+    "RGB_tmo_2446a",
     "apply_gm_to_sdr",
     "gamut_compress",
     "BT2020_TO_BT709",

@@ -74,10 +74,86 @@ def random_tmo(key: Array, hdr_img: Array, qmax: float) -> Array:
     return jnp.clip(tm, 0.0, 1.0)
 
 
+# BT.2020 luminance coefficients (the HDR frames are BT.2020 linear light
+# before gamut compression — SURVEY.md §2.1 C3).
+_BT2020_Y = (0.2627, 0.6780, 0.0593)
+
+
+def tmo_2446a(
+    hdr_img: Array,
+    *,
+    l_hdr: float = 1000.0,
+    l_sdr: float = 100.0,
+    alpha: float = 0.05,
+    eps: float = 1e-6,
+    channel_axis: int = 1,
+) -> Array:
+    """ITU-R BT.2446-0 Method A HDR->SDR tone mapping.
+
+    The reference parses ``--tmo_2446a`` and sketches
+    ``RGB_tmo_2446a(fmap_hdr/10)`` in a comment, but never defines the
+    function (train_vqgan_lora.py:510-513, 1137-1139 — dead flag). This is a
+    real implementation of the standard so the flag works in gmdx:
+
+      1. crosstalk matrix ``(1-2a)RGB + a(G+B, R+B, R+G)`` desaturates
+         highlights before the curve (a = 0.05 per the standard);
+      2. luminance Y (BT.2020 weights), gamma-adjusted ``Y' = Y^(1/2.4)``;
+      3. perceptual log compression ``Y'p = log(1+(rho_h-1)Y')/log(rho_h)``
+         with ``rho = 1 + 32 (L/10000)^(1/2.4)`` at the HDR peak;
+      4. the three-segment BT.2446-A knee curve on Y'p;
+      5. inverse log + gamma at the SDR peak, per-pixel linear gain
+         ``Y_sdr/Y_hdr`` applied to the crosstalked RGB, inverse crosstalk.
+
+    Input is linear HDR normalized so 1.0 = ``l_hdr`` nits (the gmdx trainer
+    passes ``hdr/(qmax+1)``). Output is linear SDR in [0, 1] (1.0 = ``l_sdr``
+    nits). ``channel_axis`` follows gamut_compress: default 1 (NCHW training
+    batches); pass -1 for NHWC.
+    """
+    x = jnp.moveaxis(jnp.clip(hdr_img, 0.0, None), channel_axis, -1)
+    dt = x.dtype
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    # Step 1: crosstalk.
+    a = alpha
+    rc = (1 - 2 * a) * r + a * (g + b)
+    gc = (1 - 2 * a) * g + a * (r + b)
+    bc = (1 - 2 * a) * b + a * (r + g)
+    xc = jnp.stack([rc, gc, bc], axis=-1)
+    wy = jnp.asarray(_BT2020_Y, dtype=dt)
+    y_hdr = jnp.clip(jnp.einsum("...c,c->...", xc, wy), 0.0, 1.0)
+    # Steps 2-3: gamma + perceptual log compression at the HDR peak.
+    yp = jnp.power(jnp.clip(y_hdr, eps, 1.0), 1.0 / 2.4)
+    rho_h = 1.0 + 32.0 * (l_hdr / 10000.0) ** (1.0 / 2.4)
+    ypp = jnp.log1p((rho_h - 1.0) * yp) / math.log(rho_h)
+    # Step 4: three-segment knee curve (constants from BT.2446-0 Table 3).
+    yc = jnp.where(
+        ypp <= 0.7399,
+        1.0770 * ypp,
+        jnp.where(
+            ypp < 0.9909,
+            -1.1510 * ypp * ypp + 2.7811 * ypp - 0.6302,
+            0.5000 * ypp + 0.5000,
+        ),
+    )
+    # Step 5: invert the log + gamma at the SDR peak, scale, un-crosstalk.
+    rho_s = 1.0 + 32.0 * (l_sdr / 10000.0) ** (1.0 / 2.4)
+    y_sdr_p = jnp.expm1(yc * math.log(rho_s)) / (rho_s - 1.0)
+    y_sdr = jnp.power(jnp.clip(y_sdr_p, 0.0, 1.0), 2.4)
+    gain = y_sdr / jnp.maximum(y_hdr, eps)
+    out = xc * gain[..., None]
+    ro, go, bo = out[..., 0], out[..., 1], out[..., 2]
+    d = 1.0 - 3.0 * a
+    ri = ((1 - a) * ro - a * (go + bo)) / d
+    gi = ((1 - a) * go - a * (ro + bo)) / d
+    bi = ((1 - a) * bo - a * (ro + go)) / d
+    out = jnp.clip(jnp.stack([ri, gi, bi], axis=-1), 0.0, 1.0).astype(dt)
+    return jnp.moveaxis(out, -1, channel_axis)
+
+
 # Aliases keeping the reference's public names importable.
 tmo_cuda = mulog_tmo
 tmo_mulog = mulog_tmo
 random_tmo_cuda = random_tmo
+RGB_tmo_2446a = tmo_2446a  # the name the reference's dead comment uses
 
 __all__ = [
     "linear_scale_tmo",
@@ -88,4 +164,6 @@ __all__ = [
     "tmo_cuda",
     "random_tmo",
     "random_tmo_cuda",
+    "tmo_2446a",
+    "RGB_tmo_2446a",
 ]

@@ -20,6 +20,7 @@ from gmdx.schedulers.ddpm import DDPMScheduler, DDPMState
 from gmdx.schedulers.ddim import DDIMScheduler, DDIMState
 from gmdx.schedulers.pndm import PNDMScheduler, PNDMState
 from gmdx.schedulers.dpm import DPMSolverMultistepScheduler, DPMState
+from gmdx.schedulers.lcm import LCMScheduler, LCMState
 
 SCHEDULERS = {
     "ddpm": DDPMScheduler,
@@ -27,6 +28,7 @@ SCHEDULERS = {
     "pndm": PNDMScheduler,
     "dpm++": DPMSolverMultistepScheduler,
     "dpmsolver++": DPMSolverMultistepScheduler,
+    "lcm": LCMScheduler,
 }
 
 
@@ -53,6 +55,8 @@ __all__ = [
     "PNDMState",
     "DPMSolverMultistepScheduler",
     "DPMState",
+    "LCMScheduler",
+    "LCMState",
     "SCHEDULERS",
     "get_scheduler",
 ]

@@ -102,10 +102,18 @@ def parse_args():
     return args
 
 
-def choose_tmo(name: str):
-    """Reference choose_tmo (:734-743): --bright_tmo selects the training TMO."""
-    from gmdx.ops import fix_mulog_tmo, hard_clip_tmo, linear_scale_tmo
+def choose_tmo(name: str, use_2446a: bool = False):
+    """Reference choose_tmo (:734-743): --bright_tmo selects the training TMO.
 
+    ``--tmo_2446a`` overrides it with ITU-R BT.2446-A. The reference parses
+    the flag but its use is a dead comment calling an undefined function
+    (train_vqgan_lora.py:510-513, 1137-1139); gmdx implements the standard
+    (gmdx/ops/tmo.py:tmo_2446a), peak-normalizing by qmax+1.
+    """
+    from gmdx.ops import fix_mulog_tmo, hard_clip_tmo, linear_scale_tmo, tmo_2446a
+
+    if use_2446a:
+        return lambda hdr, qmax: tmo_2446a(hdr / (qmax + 1.0))
     return {
         "fix_mulog": fix_mulog_tmo,
         "hard_clip": hard_clip_tmo,
@@ -223,7 +231,7 @@ def main():
         lora=LoRAConfig(rank=args.lora_rank, alpha=float(args.lora_rank)),
         use_ema=args.use_ema,
     )
-    tmo_fn = choose_tmo(args.bright_tmo)
+    tmo_fn = choose_tmo(args.bright_tmo, use_2446a=args.tmo_2446a)
 
     dataset = ParquetImageDataset(args.train_metadata)
     steps_per_epoch = max(1, len(dataset) // (args.train_batch_size * n_dev))

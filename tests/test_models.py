@@ -298,3 +298,63 @@ class TestLoRA:
             ha, b, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
         )
         np.testing.assert_allclose(y1, y2, rtol=1e-4, atol=1e-4)
+
+
+class TestSafetyChecker:
+    def _init(self):
+        from gmdx.models import StableDiffusionSafetyChecker, TINY_VISION_CONFIG
+
+        checker = StableDiffusionSafetyChecker(TINY_VISION_CONFIG)
+        params = checker.init(
+            jax.random.key(0), jnp.zeros((1, 3, 32, 32))
+        )["params"]
+        return checker, params
+
+    def test_forward_shapes(self):
+        checker, params = self._init()
+        flags = checker.apply({"params": params}, jnp.zeros((3, 3, 32, 32)))
+        assert flags.shape == (3,) and flags.dtype == jnp.bool_
+
+    def test_thresholds_control_flagging(self):
+        checker, params = self._init()
+        x = jax.random.normal(jax.random.key(1), (2, 3, 32, 32))
+        # Cosine similarity is <= 1, so thresholds of 2 can never fire and
+        # thresholds of -2 always fire.
+        never = dict(params, concept_embeds_weights=jnp.full((4,), 2.0),
+                     special_care_embeds_weights=jnp.full((2,), 2.0))
+        always = dict(params, concept_embeds_weights=jnp.full((4,), -2.0))
+        assert not np.any(checker.apply({"params": never}, x))
+        assert np.all(checker.apply({"params": always}, x))
+
+    def test_run_safety_checker_blackout(self):
+        from gmdx.models import run_safety_checker
+
+        checker, params = self._init()
+        params = dict(params, concept_embeds_weights=jnp.full((4,), -2.0))
+        imgs = jnp.ones((2, 16, 16, 3)) * 0.5
+        out, flags = run_safety_checker(checker, params, imgs)
+        assert np.all(flags)
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+    def test_preprocess_for_clip(self):
+        from gmdx.models import preprocess_for_clip
+
+        x = jnp.ones((1, 64, 48, 3)) * 0.5
+        out = preprocess_for_clip(x, image_size=32)
+        assert out.shape == (1, 3, 32, 32)
+        # 0.5 gray maps to (0.5 - mean) / std per channel.
+        from gmdx.models.safety_checker import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+
+        expect = (0.5 - np.array(CLIP_IMAGE_MEAN)) / np.array(CLIP_IMAGE_STD)
+        got = np.asarray(out)[0, :, 0, 0]
+        np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+    def test_make_safety_checker_fn_pipeline_hook(self):
+        from gmdx.models import make_safety_checker_fn
+
+        checker, params = self._init()
+        fn = make_safety_checker_fn(checker, params)
+        imgs = np.random.default_rng(3).uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+        out, flags = fn(imgs)
+        assert out.shape == imgs.shape and flags.shape == (2,)
+        assert isinstance(out, np.ndarray)

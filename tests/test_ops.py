@@ -199,3 +199,103 @@ class TestExposure:
         out, meta = jax.vmap(random_exposure_adjust)(keys, imgs)
         assert out.shape == imgs.shape
         assert len(set(np.asarray(meta["exposure"]).tolist())) > 1
+
+
+class TestTmo2446a:
+    """ITU-R BT.2446-A (the reference's dead --tmo_2446a flag, implemented)."""
+
+    def _ramp(self):
+        # Gray ramp NCHW: every channel equal, luminance == channel value.
+        v = np.linspace(0.0, 1.0, 64, dtype=np.float32)
+        return np.tile(v[None, None, None, :], (1, 3, 2, 1))
+
+    def test_endpoints_and_range(self):
+        from gmdx.ops import tmo_2446a
+
+        out = np.asarray(tmo_2446a(jnp.asarray(self._ramp())))
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        np.testing.assert_allclose(out[..., 0], 0.0, atol=1e-5)
+        # Peak white (normalized 1.0) maps to SDR peak 1.0: the knee's top
+        # segment is 0.5*y+0.5 so y'=1 -> 1 exactly.
+        np.testing.assert_allclose(out[..., -1], 1.0, atol=1e-4)
+
+    def test_monotone_on_gray(self):
+        from gmdx.ops import tmo_2446a
+
+        out = np.asarray(tmo_2446a(jnp.asarray(self._ramp())))[0, 0, 0]
+        assert np.all(np.diff(out) > -1e-6)
+
+    def test_compresses_highlights(self):
+        from gmdx.ops import tmo_2446a
+
+        out = np.asarray(tmo_2446a(jnp.asarray(self._ramp())))[0, 0, 0]
+        v = np.linspace(0.0, 1.0, 64)
+        # Tone curve brightens shadows/mids relative to linear and keeps
+        # highlights below identity-plus-epsilon (knee compresses the top).
+        assert out[8] > v[8]
+        mid = slice(16, 48)
+        assert np.all(out[mid] >= v[mid] - 1e-4)
+
+    def test_gray_matches_scalar_mirror(self):
+        from gmdx.ops import tmo_2446a
+
+        # Independent numpy mirror of the standard's luminance path (on gray,
+        # crosstalk is identity and gain applies uniformly).
+        def mirror(y, l_hdr=1000.0, l_sdr=100.0):
+            yp = np.clip(y, 1e-6, 1.0) ** (1 / 2.4)
+            rho_h = 1 + 32 * (l_hdr / 10000.0) ** (1 / 2.4)
+            ypp = np.log(1 + (rho_h - 1) * yp) / np.log(rho_h)
+            if ypp <= 0.7399:
+                yc = 1.0770 * ypp
+            elif ypp < 0.9909:
+                yc = -1.1510 * ypp**2 + 2.7811 * ypp - 0.6302
+            else:
+                yc = 0.5 * ypp + 0.5
+            rho_s = 1 + 32 * (l_sdr / 10000.0) ** (1 / 2.4)
+            y_sdr = ((rho_s**yc - 1) / (rho_s - 1)) ** 2.4
+            return np.clip(y * (y_sdr / max(y, 1e-6)), 0, 1)
+
+        vals = np.array([0.01, 0.1, 0.3, 0.6, 0.9, 1.0], dtype=np.float32)
+        img = np.tile(vals[None, None, None, :], (1, 3, 1, 1))
+        out = np.asarray(tmo_2446a(jnp.asarray(img)))[0, 0, 0]
+        expect = np.array([mirror(v) for v in vals])
+        np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
+
+    def test_crosstalk_roundtrip_identity_on_gray(self):
+        from gmdx.ops import tmo_2446a
+
+        # alpha=0 vs default alpha must agree on gray images (crosstalk is
+        # identity there) — checks the inverse-crosstalk algebra.
+        img = jnp.asarray(self._ramp())
+        a0 = np.asarray(tmo_2446a(img, alpha=0.0))
+        a5 = np.asarray(tmo_2446a(img))
+        np.testing.assert_allclose(a0, a5, rtol=1e-4, atol=1e-5)
+
+    def test_channel_axis_polymorphic(self):
+        from gmdx.ops import tmo_2446a
+
+        rng = np.random.default_rng(7)
+        img = rng.uniform(0, 1, (2, 3, 8, 8)).astype(np.float32)
+        nchw = np.asarray(tmo_2446a(jnp.asarray(img)))
+        nhwc = np.asarray(
+            tmo_2446a(jnp.asarray(img.transpose(0, 2, 3, 1)), channel_axis=-1)
+        )
+        np.testing.assert_allclose(nchw, nhwc.transpose(0, 3, 1, 2), rtol=1e-5)
+
+    def test_jittable_and_trainer_wrapper(self):
+        import sys
+
+        from gmdx.ops import tmo_2446a
+
+        sys.path.insert(0, "scripts/stage1")
+        from train_vqgan_lora import choose_tmo
+
+        fn = choose_tmo("fix_mulog", use_2446a=True)
+        hdr = jnp.asarray(
+            np.random.default_rng(1).uniform(0, 50, (2, 3, 8, 8)).astype(np.float32)
+        )
+        out = jax.jit(lambda x: fn(x, qmax=49.0))(hdr)
+        assert out.shape == hdr.shape
+        assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+        direct = tmo_2446a(hdr / 50.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(direct), rtol=1e-5)

@@ -342,3 +342,26 @@ class TestDualBatchGreaterThanOne:
         )
         assert seen["gm_ctx_batch"] == 2
         assert sdr.shape == (2, 4, 4, 4) and gm.shape == (2, 4, 4, 4)
+
+
+class TestLCMSampling:
+    def test_gm_pipeline_with_lcm_4_steps(self, components):
+        from gmdx.schedulers import LCMScheduler
+
+        unet8, _, vae, text, tok, params = components
+        pipe = StableDiffusionGMPipeline(
+            unet8, vae, text, tok, LCMScheduler(original_inference_steps=50)
+        )
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        out = pipe(
+            params, sdr_latent, "a bright scene",
+            key=jax.random.key(6), num_inference_steps=4, output_type="latent",
+        )
+        assert out.shape == LAT
+        assert np.isfinite(np.asarray(out)).all()
+        # Deterministic per key.
+        again = pipe(
+            params, sdr_latent, "a bright scene",
+            key=jax.random.key(6), num_inference_steps=4, output_type="latent",
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(again))

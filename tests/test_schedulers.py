@@ -387,3 +387,112 @@ class TestDPM:
             if i == 0:
                 np.testing.assert_allclose(xt2, xt1, rtol=1e-5)  # warmup = 1st order
         assert not np.allclose(xt2, xt1)
+
+
+class TestLCM:
+    def test_timestep_grid(self):
+        from gmdx.schedulers import LCMScheduler
+
+        s = LCMScheduler(original_inference_steps=50)
+        ts = np.asarray(s.timesteps(4))
+        # origin grid k*i-1 (k=20) descending; linspace(0,50,4,F)=[0,12,25,37].
+        np.testing.assert_array_equal(ts, [999, 759, 499, 259])
+        assert np.asarray(s.timesteps(50)).tolist()[:3] == [999, 979, 959]
+        with pytest.raises(ValueError):
+            s.timesteps(51)
+
+    def test_boundary_scalings(self):
+        from gmdx.schedulers import LCMScheduler
+
+        s = LCMScheduler()
+        c_skip, c_out = s.scalings_for_boundary_conditions(jnp.array(0))
+        # t=0: pure skip (identity) — consistency boundary condition.
+        assert float(c_skip) == 1.0 and float(c_out) == 0.0
+        c_skip, c_out = s.scalings_for_boundary_conditions(jnp.array(999))
+        assert float(c_skip) < 1e-4 and float(c_out) > 0.999
+
+    def test_matches_numpy_mirror(self, x0_eps):
+        from gmdx.schedulers import LCMScheduler
+
+        x0, eps = x0_eps
+        s = LCMScheduler(original_inference_steps=50)
+        n = 4
+        state = s.init_state(n)
+        acp = np.asarray(s.alphas_cumprod)
+        sample = path_point(s.alphas_cumprod, x0, eps, int(state.timesteps[0]))
+        mirror = np.asarray(sample)
+        keys = jax.random.split(jax.random.key(5), n)
+        ts = np.asarray(state.timesteps)
+        for i in range(n):
+            state, sample = s.step(state, eps, sample, key=keys[i])
+            # numpy mirror of the same algebra
+            t = int(ts[i])
+            a = acp[t]
+            x0_pred = (mirror - np.sqrt(1 - a) * np.asarray(eps)) / np.sqrt(a)
+            st = t * 10.0
+            c_skip = 0.25 / (st**2 + 0.25)
+            c_out = st / np.sqrt(st**2 + 0.25)
+            denoised = c_out * x0_pred + c_skip * mirror
+            if i == n - 1:
+                mirror = denoised
+            else:
+                a_prev = acp[int(ts[i + 1])]
+                noise = np.asarray(
+                    jax.random.normal(keys[i], sample.shape, sample.dtype)
+                )
+                mirror = np.sqrt(a_prev) * denoised + np.sqrt(1 - a_prev) * noise
+            np.testing.assert_allclose(
+                np.asarray(sample), mirror, rtol=2e-5, atol=2e-5
+            )
+
+    def test_final_step_is_denoised_no_noise(self, x0_eps):
+        from gmdx.schedulers import LCMScheduler
+
+        x0, eps = x0_eps
+        s = LCMScheduler()
+        state = s.init_state(2)
+        sample = path_point(s.alphas_cumprod, x0, eps, int(state.timesteps[0]))
+        state, sample = s.step(state, eps, sample, key=jax.random.key(0))
+        # Final step: output must not depend on the key.
+        _, out_a = s.step(state, eps, sample, key=jax.random.key(1))
+        _, out_b = s.step(state, eps, sample, key=jax.random.key(2))
+        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+    def test_scan_equals_python_loop(self, x0_eps):
+        from gmdx.schedulers import LCMScheduler
+
+        x0, eps = x0_eps
+        s = LCMScheduler()
+        n = 4
+        keys = jax.random.split(jax.random.key(9), n)
+
+        def run_loop():
+            st = s.init_state(n)
+            smp = path_point(s.alphas_cumprod, x0, eps, int(st.timesteps[0]))
+            for i in range(n):
+                st, smp = s.step(st, eps, smp, key=keys[i])
+            return smp
+
+        def scan_body(carry, key):
+            st, smp = carry
+            st, smp = s.step(st, eps, smp, key=key)
+            return (st, smp), None
+
+        st0 = s.init_state(n)
+        smp0 = path_point(s.alphas_cumprod, x0, eps, int(st0.timesteps[0]))
+        (_, smp_scan), _ = jax.lax.scan(scan_body, (st0, smp0), keys)
+        np.testing.assert_allclose(
+            np.asarray(run_loop()), np.asarray(smp_scan), rtol=1e-5, atol=1e-5
+        )
+
+    def test_registry_and_pipeline_save_load(self, tmp_path):
+        from gmdx.io.pipeline import load_scheduler, save_scheduler
+        from gmdx.schedulers import LCMScheduler, get_scheduler
+
+        assert isinstance(get_scheduler("lcm"), LCMScheduler)
+        s = LCMScheduler(original_inference_steps=25)
+        save_scheduler(str(tmp_path / "sched"), s)
+        # save_scheduler only persists SchedulerConfig + known extras; the
+        # class name must round-trip to the right type.
+        back = load_scheduler(str(tmp_path / "sched"))
+        assert isinstance(back, LCMScheduler)
