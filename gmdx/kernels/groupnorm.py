@@ -109,6 +109,46 @@ def _pick_blk_hw(hw: int, c: int, itemsize: int) -> int:
     return blk
 
 
+def _gn_silu_reference(x, scale, bias, num_groups, eps, activate):
+    """jnp mirror (fp32 stats) — the backward-pass recompute target."""
+    sh = x.shape
+    c = sh[-1]
+    xf = x.astype(jnp.float32)
+    xg = xf.reshape(sh[:-1] + (num_groups, c // num_groups))
+    ax = tuple(range(1, xf.ndim - 1)) + (xf.ndim,)
+    mean = xg.mean(axis=ax, keepdims=True)
+    var = xg.var(axis=ax, keepdims=True)
+    y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(sh)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if activate:
+        y = jax.nn.silu(y)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gn_silu_pallas(x, scale, bias, num_groups, eps, activate, interpret):
+    return _gn_forward(x, scale, bias, num_groups, eps, activate, interpret)
+
+
+def _gn_fwd(x, scale, bias, num_groups, eps, activate, interpret):
+    out = _gn_silu_pallas(x, scale, bias, num_groups, eps, activate, interpret)
+    return out, (x, scale, bias)
+
+
+def _gn_bwd(num_groups, eps, activate, _interpret, res, g):
+    # Backward = recompute with differentiable jnp ops (same trade as the
+    # flash kernel: one Pallas kernel to maintain, XLA handles the VJP).
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _gn_silu_reference(x_, s_, b_, num_groups, eps, activate),
+        x, scale, bias,
+    )
+    return vjp(g)
+
+
+_gn_silu_pallas.defvjp(_gn_fwd, _gn_bwd)
+
+
 def fused_group_norm_silu(
     x: Array,  # (B, H, W, C) NHWC
     scale: Array,  # (C,)
@@ -120,17 +160,24 @@ def fused_group_norm_silu(
     interpret: bool = False,
 ):
     """Fused GN(+SiLU) over NHWC. Returns None when the shape doesn't tile
-    (caller falls back to the jnp path)."""
+    (caller falls back to the jnp path). Differentiable: forward runs the
+    Pallas kernels, backward recomputes through the jnp mirror."""
     if x.ndim != 4:
         return None
     b, h, w, c = x.shape
     hw = h * w
     if c % num_groups != 0 or c % 128 != 0 or hw % 8 != 0:
         return None
+    if hw % _pick_blk_hw(hw, c, x.dtype.itemsize) != 0:
+        return None
+    return _gn_silu_pallas(x, scale, bias, num_groups, eps, activate, interpret)
+
+
+def _gn_forward(x, scale, bias, num_groups, eps, activate, interpret):
+    b, h, w, c = x.shape
+    hw = h * w
     gsize = c // num_groups
     blk_hw = _pick_blk_hw(hw, c, x.dtype.itemsize)
-    if hw % blk_hw != 0:
-        return None
     n_blk = hw // blk_hw
     xf = x.reshape(b, hw, c)
 

@@ -90,12 +90,15 @@ class GroupNorm(nn.Module):
         scale, bias = _GNScaleBias(c, name="norm")()
         orig_dtype = x.dtype
 
-        # Opt-in only: measured ~par with XLA's own GN+SiLU fusion on v5e
-        # (see gmdx/kernels/groupnorm.py docstring), so the jnp path is the
-        # default and the kernel stays available for odd layouts/benchmarks.
+        # Default-on: in-model the kernel beats XLA's GN lowering by ~9%
+        # of a whole SD-1.5 UNet forward (72.9 -> 66.5 ms batch 8 bf16 —
+        # XLA's convert+reduce stat passes ran ~9x off bandwidth roofline).
+        # Standalone microbenches showed parity; trust the in-model trace.
+        # GMDX_FUSED_GN=0 opts out. Falls back to jnp off-TPU or for
+        # shapes that don't tile (fused_group_norm_silu returns None).
         if (
             x.ndim == 4
-            and os.environ.get("GMDX_FUSED_GN", "0") == "1"
+            and os.environ.get("GMDX_FUSED_GN", "1") != "0"
             and jax.default_backend() == "tpu"
         ):
             from gmdx.kernels.groupnorm import fused_group_norm_silu

@@ -99,3 +99,30 @@ class TestFusedGroupNorm:
         assert fused_group_norm_silu(
             jnp.zeros((1, 4, 4, 100)), jnp.ones(100), jnp.zeros(100)
         ) is None
+
+
+class TestGroupNormVJP:
+    def test_grad_matches_jnp(self):
+        """Fused GN is default-on in models now, so it must differentiate:
+        backward recomputes through the jnp mirror."""
+        from gmdx.kernels.groupnorm import _gn_silu_reference
+
+        x = jax.random.normal(jax.random.key(0), (2, 8, 8, 128))
+        s = jax.random.normal(jax.random.key(1), (128,)) * 0.1 + 1.0
+        b = jax.random.normal(jax.random.key(2), (128,)) * 0.1
+
+        def loss_pallas(x, s, b):
+            out = fused_group_norm_silu(
+                x, s, b, num_groups=32, interpret=True
+            )
+            return jnp.sum(out ** 2)
+
+        def loss_ref(x, s, b):
+            return jnp.sum(_gn_silu_reference(x, s, b, 32, 1e-5, True) ** 2)
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, s, b)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, s, b)
+        for a, e in zip(gp, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(e), rtol=1e-4, atol=1e-5
+            )
