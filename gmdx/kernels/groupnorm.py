@@ -166,7 +166,11 @@ def fused_group_norm_silu(
         return None
     b, h, w, c = x.shape
     hw = h * w
-    if c % num_groups != 0 or c % 128 != 0 or hw % 8 != 0:
+    # The channel axis always spans the full block (last block dim == array
+    # dim is legal at any size — Mosaic lane-pads internally), so c needs no
+    # 128 alignment; SD-1.5's 320-channel level matters (it covers the
+    # largest 64x64 activations).
+    if c % num_groups != 0 or hw % 8 != 0:
         return None
     if hw % _pick_blk_hw(hw, c, x.dtype.itemsize) != 0:
         return None

@@ -69,7 +69,13 @@ class TestFusedGroupNorm:
 
     @pytest.mark.parametrize(
         "shape,groups",
-        [((2, 8, 8, 128), 32), ((1, 16, 16, 256), 32), ((1, 8, 8, 1280), 32)],
+        [
+            ((2, 8, 8, 128), 32),
+            ((1, 16, 16, 256), 32),
+            ((1, 8, 8, 1280), 32),
+            # non-128-aligned channels: SD-1.5's 320-ch top level
+            ((2, 8, 8, 320), 32),
+        ],
     )
     def test_matches_reference(self, shape, groups):
         x = jax.random.normal(jax.random.key(0), shape) * 3 + 1
