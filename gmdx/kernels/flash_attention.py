@@ -1,15 +1,17 @@
 """Blockwise (flash) attention as a Pallas TPU kernel.
 
 Design notes (see /opt/skills/guides/pallas_guide.md):
-  * Grid (batch, heads, q_blocks, k_blocks); the k dimension is minor, so the
+  * Grid (batch*heads, q_blocks, k_blocks); the k dimension is minor, so the
     online-softmax running state (row max, row sum, output accumulator) lives
-    in VMEM scratch that persists across the sequential k iterations.
-  * Operands stay in their natural (B, S, H, D) layout: the head axis is
-    sliced by the BlockSpec index maps, so no (B,H,S,D) transpose copies ever
-    hit HBM, and the head dim stays unpadded (40/80/160 in SD-1.5) — Mosaic
-    lane-pads VMEM tiles internally, which costs nothing, whereas explicit
-    jnp.pad to 128 cost a full HBM round-trip per Q/K/V per call (~8% of a
-    UNet forward, measured in a device trace).
+    in VMEM scratch that persists across the sequential k iterations. Heads
+    are folded into the leading dim by an XLA transpose (Mosaic requires the
+    last two block dims to be tile-aligned or full, which rules out slicing
+    the head axis of a (B, S, H, D) operand in the index map).
+  * The head dim stays unpadded (40/80/160 in SD-1.5): a block whose last
+    dim equals the full array dim is legal, and Mosaic lane-pads VMEM tiles
+    internally at no cost — whereas explicit jnp.pad to 128 cost a full HBM
+    round-trip per Q/K/V per call (~8% of a UNet forward, measured in a
+    device trace).
   * fp32 accumulation regardless of input dtype (bf16 in the hot path).
   * O(L) memory: no (Sq, Sk) materialization, unlike the reference's opt-in
     xformers path (train_vqgan_lora.py:864-866) this is always-on.

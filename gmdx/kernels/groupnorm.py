@@ -172,8 +172,6 @@ def fused_group_norm_silu(
     # largest 64x64 activations).
     if c % num_groups != 0 or hw % 8 != 0:
         return None
-    if hw % _pick_blk_hw(hw, c, x.dtype.itemsize) != 0:
-        return None
     return _gn_silu_pallas(x, scale, bias, num_groups, eps, activate, interpret)
 
 

@@ -19,6 +19,7 @@ import dataclasses
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gmdx.models.clip_text import CLIPEncoderLayer, CLIPTextConfig
 
@@ -175,14 +176,27 @@ class StableDiffusionSafetyChecker(nn.Module):
 
 
 def preprocess_for_clip(images01: Array, image_size: int = 224) -> Array:
-    """(B, H, W, 3) images in [0, 1] -> (B, 3, S, S) CLIP-normalized input."""
-    b, _, _, c = images01.shape
-    resized = jax.image.resize(
-        images01, (b, image_size, image_size, c), method="bicubic"
+    """(B, H, W, 3) images in [0, 1] -> (B, 3, S, S) CLIP-normalized input.
+
+    Matches transformers' CLIPImageProcessor geometry: resize the SHORTEST
+    edge to ``image_size`` (bicubic), then center-crop the long edge — an
+    aspect-ratio squash would change the embeddings (and potentially the
+    NSFW verdicts) for non-square frames vs the reference.
+    """
+    b, h, w, c = images01.shape
+    if h <= w:
+        nh, nw = image_size, max(image_size, round(w * image_size / h))
+    else:
+        nh, nw = max(image_size, round(h * image_size / w)), image_size
+    resized = jax.image.resize(images01, (b, nh, nw, c), method="bicubic")
+    top = (nh - image_size) // 2
+    left = (nw - image_size) // 2
+    cropped = jax.lax.dynamic_slice(
+        resized, (0, top, left, 0), (b, image_size, image_size, c)
     )
-    mean = jnp.asarray(CLIP_IMAGE_MEAN, dtype=resized.dtype)
-    std = jnp.asarray(CLIP_IMAGE_STD, dtype=resized.dtype)
-    normed = (jnp.clip(resized, 0.0, 1.0) - mean) / std
+    mean = jnp.asarray(CLIP_IMAGE_MEAN, dtype=cropped.dtype)
+    std = jnp.asarray(CLIP_IMAGE_STD, dtype=cropped.dtype)
+    normed = (jnp.clip(cropped, 0.0, 1.0) - mean) / std
     return normed.transpose(0, 3, 1, 2)
 
 
@@ -204,21 +218,12 @@ def run_safety_checker(
 def make_safety_checker_fn(checker: StableDiffusionSafetyChecker, params):
     """Build the callable the pipelines' ``safety_checker=`` hook expects:
     NHWC [0,1] images -> (filtered images, has_nsfw flags), jitted once."""
-    import functools
-
-    @functools.partial(jax.jit)
-    def _jitted(p, imgs):
-        clip_input = preprocess_for_clip(
-            imgs, image_size=checker.config.image_size
-        )
-        has_nsfw = checker.apply({"params": p}, clip_input)
-        keep = (~has_nsfw).astype(imgs.dtype)[:, None, None, None]
-        return imgs * keep, has_nsfw
+    jitted = jax.jit(
+        lambda p, imgs: run_safety_checker(checker, p, imgs)
+    )
 
     def fn(images01):
-        out, flags = _jitted(params, jnp.asarray(images01))
-        import numpy as np
-
+        out, flags = jitted(params, jnp.asarray(images01))
         return np.asarray(out), np.asarray(flags)
 
     return fn

@@ -203,6 +203,23 @@ class TestConverterCLI:
             got = load_params(f"{back_dir}/{name}/params.safetensors")
             assert_trees_equal(orig, got)
 
+        # Configs must round-trip too (not be assumed SD-1.5-sized): the
+        # re-imported pipeline must LOAD and RUN at the tiny shapes.
+        from gmdx.io.pipeline import load_pipeline
+        from gmdx.schedulers import PNDMScheduler as _PNDM
+
+        bundle = load_pipeline(back_dir)
+        assert isinstance(bundle["scheduler"], _PNDM)
+        m, p = bundle["modules"]["unet"], bundle["params"]["unet"]
+        assert m.config == TINY_UNET_CONFIG
+        out = m.apply(
+            {"params": p}, jnp.zeros((1, 4, 16, 16)), jnp.array(1.0),
+            jnp.zeros((1, 7, 32)),
+        )
+        assert out.shape == (1, 4, 16, 16)
+        assert bundle["modules"]["vae"].config == TINY_VAE_CONFIG
+        assert bundle["modules"]["text_encoder"].config == TINY_CLIP_CONFIG
+
 
 class TestSafetyCheckerInterop:
     def _hf_tiny(self):
@@ -324,3 +341,25 @@ class TestCLIPTextNumericalParity:
             {"params": tree}, jnp.asarray(ids, jnp.int32)
         )
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+def test_find_safetensors_prefers_full_precision(tmp_path):
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "tools",
+        "convert_torch_checkpoint.py",
+    )
+    spec = importlib.util.spec_from_file_location("convert_cli2", path)
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    d = tmp_path / "unet"
+    d.mkdir()
+    for n in (
+        "diffusion_pytorch_model.fp16.safetensors",
+        "diffusion_pytorch_model.safetensors",
+    ):
+        (d / n).write_bytes(b"")
+    assert cli._find_safetensors(str(d)).endswith(
+        "diffusion_pytorch_model.safetensors"
+    )
