@@ -48,12 +48,15 @@ def dot_product_attention(
         # materialization, which XLA cannot avoid at 1024^2+ resolutions.
         # Head-dim cap: at the VAE's single 512-wide head XLA's fused
         # attention edges out the kernel (3.2 vs 3.5 ms at 4096 tokens,
-        # blk 512), so only the UNet head dims (<=160) dispatch to Pallas.
+        # blk 512), so the UNet head dims (<=160) dispatch to Pallas —
+        # EXCEPT that past 4096 keys the O(Sq*Sk) logits XLA materializes
+        # dominate everything (1 GB fp32 at the VAE's 16384 tokens at
+        # 1024^2), so long sequences always take the O(L) kernel.
         use_pallas = (
             os.environ.get("GMDX_NO_PALLAS", "0") != "1"
             and jax.default_backend() == "tpu"
             and k.shape[1] >= 1024
-            and q.shape[-1] <= 256
+            and (q.shape[-1] <= 256 or k.shape[1] > 4096)
         )
     if use_pallas:
         from gmdx.kernels.flash_attention import flash_attention
