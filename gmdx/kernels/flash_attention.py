@@ -1,4 +1,4 @@
-"""Blockwise (flash) attention as a Pallas TPU kernel.
+"""Blockwise (flash) attention as Pallas TPU kernels — forward and backward.
 
 Design notes (see /opt/skills/guides/pallas_guide.md):
   * Grid (batch*heads, q_blocks, k_blocks); the k dimension is minor, so the
@@ -15,16 +15,24 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
   * fp32 accumulation regardless of input dtype (bf16 in the hot path).
   * O(L) memory: no (Sq, Sk) materialization, unlike the reference's opt-in
     xformers path (train_vqgan_lora.py:864-866) this is always-on.
-  * Training: custom VJP — forward runs the Pallas kernel, backward
-    recomputes attention with the XLA path (latent grids are <=16k tokens,
-    so recompute beats storing the weight matrix).
+  * Training: custom VJP with Pallas backward kernels. The forward also
+    emits the per-row base-2 logsumexp; the backward recomputes the
+    probabilities blockwise from (Q, K, LSE) and accumulates dK/dV (k-major
+    kernel) and dQ (q-major kernel) in VMEM scratch — still O(L) memory,
+    where the XLA recompute fallback (GMDX_FLASH_BWD=0) materializes the
+    (Sq, Sk) weights and their gradient.
+  * Base-2 softmax: log2(e) and the 1/sqrt(d) scale are folded into Q once
+    (a fusible elementwise op), so the VPU runs native exp2 with no
+    per-logit multiply; numerator and denominator share the base, so the
+    normalized weights are unchanged. The backward folds the matching
+    constants into its epilogues (dK /= log2(e), dQ *= scale).
 """
 
 from __future__ import annotations
 
 import functools
-
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +55,7 @@ def _flash_kernel(
     k_ref,  # VMEM (1, blk_k, d)
     v_ref,  # VMEM (1, blk_k, d)
     o_ref,  # VMEM (1, blk_q, d)
+    lse_ref,  # VMEM (1, blk_q, 1) base-2 logsumexp (backward residual)
     m_scr,  # VMEM (blk_q, 128) running row max (lane-broadcast)
     l_scr,  # VMEM (blk_q, 128) running row sum
     acc_scr,  # VMEM (blk_q, d) fp32 accumulator
@@ -79,10 +88,6 @@ def _flash_kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kidx * blk_k
         s = jnp.where(col < sk_ref[0], s, _NEG_INF)
 
-    # Base-2 softmax: log2(e) is folded into the Q pre-scale, so logits are
-    # already in log2 space and the VPU runs the native exp2 without the
-    # per-element base-change multiply. Numerator and denominator share the
-    # base, so the normalized weights are unchanged.
     m_prev = m_scr[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
@@ -102,21 +107,19 @@ def _flash_kernel(
 
     @pl.when(kidx == nk - 1)
     def _finish():
-        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:, :1] + jnp.log2(l)
 
 
 def _flash_forward(
     q: Array, k: Array, v: Array, scale: float, interpret: bool = False
-) -> Array:
-    """q (BH, Sq, D), k/v (BH, Sk, D) -> (BH, Sq, D).
+):
+    """q (BH, Sq, D), k/v (BH, Sk, D) -> ((BH, Sq, D), lse (BH, Sq, 1)).
 
-    The head dim stays unpadded (40/80/160 in SD-1.5): a block whose last
-    dim equals the full array dim is legal, and Mosaic lane-pads the VMEM
-    tiles internally at no cost — whereas an explicit jnp.pad to a 128
-    multiple costs a full HBM round-trip per Q/K/V per call (~8% of a UNet
-    forward, measured in a device trace). Sequence lengths are padded to
-    the block size only when misaligned (q rows: garbage rows sliced off
-    after; k rows: masked to -inf via the scalar-prefetched true length).
+    Sequence lengths are padded to the block size only when misaligned
+    (q rows: garbage rows sliced off after; k rows: masked to -inf via the
+    scalar-prefetched true length).
     """
     bh, sq, d = q.shape
     sk = k.shape[1]
@@ -145,7 +148,7 @@ def _flash_forward(
     needs_mask = sk_p != sk
 
     grid = (bh, sq_p // blk_q, sk_p // blk_k)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, blk_k=blk_k, needs_mask=needs_mask),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -157,16 +160,20 @@ def _flash_forward(
                 pl.BlockSpec((1, blk_k, d), lambda b, i, j, sk: (b, j, 0)),
                 pl.BlockSpec((1, blk_k, d), lambda b, i, j, sk: (b, j, 0)),
             ],
-            out_specs=pl.BlockSpec(
-                (1, blk_q, d), lambda b, i, j, sk: (b, i, 0)
-            ),
+            out_specs=[
+                pl.BlockSpec((1, blk_q, d), lambda b, i, j, sk: (b, i, 0)),
+                pl.BlockSpec((1, blk_q, 1), lambda b, i, j, sk: (b, i, 0)),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((blk_q, 128), jnp.float32),
                 pltpu.VMEM((blk_q, 128), jnp.float32),
                 pltpu.VMEM((blk_q, d), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d), dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq_p, d), dtype),
+            jax.ShapeDtypeStruct((bh, sq_p, 1), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -177,38 +184,292 @@ def _flash_forward(
         ),
         interpret=interpret,
     )(sk_arr, qp, kp, vp)
-    return out[:, :sq] if sq_p != sq else out
+    if sq_p != sq:
+        out = out[:, :sq]
+        lse = lse[:, :sq]
+    return out, lse
 
 
-def _xla_bshd(q, k, v, scale):
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+def _flash_bwd_dkv_kernel(
+    sk_ref,  # SMEM (1,): true key length
+    qp_ref,  # VMEM (1, blk_q, d) — pre-scaled Q (same as forward)
+    k_ref,  # VMEM (1, blk_k, d)
+    v_ref,  # VMEM (1, blk_k, d)
+    do_ref,  # VMEM (1, blk_q, d) output cotangent
+    lse_ref,  # VMEM (1, blk_q, 1) forward base-2 logsumexp
+    dd_ref,  # VMEM (1, blk_q, 1) rowsum(dO * O)
+    dk_ref,  # VMEM (1, blk_k, d)
+    dv_ref,  # VMEM (1, blk_k, d)
+    dk_scr,  # VMEM (blk_k, d) fp32
+    dv_scr,  # VMEM (blk_k, d) fp32
+    *,
+    blk_k: int,
+    needs_mask: bool,
+):
+    """k-major pass: for one K/V block, iterate Q blocks, accumulate dK/dV."""
+    kidx = pl.program_id(1)
+    qidx = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qidx == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    qp = qp_ref[0]
+    k = k_ref[0]
+    do = do_ref[0]
+    s2 = jax.lax.dot_general(  # base-2 logits, (blk_q, blk_k)
+        qp, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if needs_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1) + kidx * blk_k
+        s2 = jnp.where(col < sk_ref[0], s2, _NEG_INF)
+    p = jnp.exp2(s2 - lse_ref[0])  # exact softmax weights, fp32
+
+    dv_scr[:] += jax.lax.dot_general(  # P^T dO -> (blk_k, d)
+        p.astype(do.dtype), do,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(  # dO V^T -> (blk_q, blk_k)
+        do, v_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - dd_ref[0])  # natural-log dSoftmax-input
+    dk_scr[:] += jax.lax.dot_general(  # dS^T Qp -> (blk_k, d)
+        ds.astype(qp.dtype), qp,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qidx == nq - 1)
+    def _finish():
+        # dK = scale * dS^T Q; Qp = Q*scale*log2(e), so divide log2(e) out.
+        dk_ref[0] = (dk_scr[:] * (1.0 / _LOG2_E)).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    sk_ref,
+    qp_ref,  # VMEM (1, blk_q, d)
+    k_ref,  # VMEM (1, blk_k, d)
+    v_ref,  # VMEM (1, blk_k, d)
+    do_ref,  # VMEM (1, blk_q, d)
+    lse_ref,  # VMEM (1, blk_q, 1)
+    dd_ref,  # VMEM (1, blk_q, 1)
+    dq_ref,  # VMEM (1, blk_q, d)
+    dq_scr,  # VMEM (blk_q, d) fp32
+    *,
+    blk_k: int,
+    scale: float,
+    needs_mask: bool,
+):
+    """q-major pass: for one Q block, iterate K/V blocks, accumulate dQ."""
+    kidx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kidx == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    qp = qp_ref[0]
+    k = k_ref[0]
+    do = do_ref[0]
+    s2 = jax.lax.dot_general(
+        qp, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if needs_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1) + kidx * blk_k
+        s2 = jnp.where(col < sk_ref[0], s2, _NEG_INF)
+    p = jnp.exp2(s2 - lse_ref[0])
+    dp = jax.lax.dot_general(
+        do, v_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - dd_ref[0])
+    dq_scr[:] += jax.lax.dot_general(  # dS K -> (blk_q, d)
+        ds.astype(k.dtype), k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kidx == nk - 1)
+    def _finish():
+        dq_ref[0] = (dq_scr[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_backward(
+    qf: Array,
+    kf: Array,
+    vf: Array,
+    of: Array,
+    lse: Array,
+    gf: Array,
+    scale: float,
+    interpret: bool = False,
+):
+    """Flat backward: all operands (BH, S, D); lse/dd (BH, Sq, 1)."""
+    bh, sq, d = qf.shape
+    sk = kf.shape[1]
+
+    # 512-wide blocks: the backward holds 4 operand blocks + 3 live fp32
+    # (blk_q, blk_k) intermediates + 2 fp32 scratch accumulators in VMEM.
+    blk_q = min(512, _round_up(sq, 128))
+    blk_k = min(512, _round_up(sk, 128))
+    sq_p = _round_up(sq, blk_q)
+    sk_p = _round_up(sk, blk_k)
+
+    qp = (qf.astype(jnp.float32) * (scale * _LOG2_E)).astype(qf.dtype)
+    dd = jnp.sum(
+        gf.astype(jnp.float32) * of.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    do = gf
+    if sq_p != sq:
+        pad = ((0, 0), (0, sq_p - sq), (0, 0))
+        qp = jnp.pad(qp, pad)
+        do = jnp.pad(do, pad)
+        dd = jnp.pad(dd, pad)
+        # Padded rows have dO = 0 so their dS/dV contributions vanish; any
+        # finite LSE keeps exp2 from overflowing on those rows.
+        lse = jnp.pad(lse, pad)
+    kp, vp = kf, vf
+    if sk_p != sk:
+        pad = ((0, 0), (0, sk_p - sk), (0, 0))
+        kp = jnp.pad(kf, pad)
+        vp = jnp.pad(vf, pad)
+    sk_arr = jnp.array([sk], jnp.int32)
+    needs_mask = sk_p != sk
+    dtype = qf.dtype
+
+    q_spec = pl.BlockSpec((1, blk_q, d), lambda b, j, i, sk: (b, i, 0))
+    k_spec = pl.BlockSpec((1, blk_k, d), lambda b, j, i, sk: (b, j, 0))
+    row_spec = pl.BlockSpec((1, blk_q, 1), lambda b, j, i, sk: (b, i, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, blk_k=blk_k, needs_mask=needs_mask
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, sk_p // blk_k, sq_p // blk_q),
+            in_specs=[q_spec, k_spec, k_spec, q_spec, row_spec, row_spec],
+            out_specs=[k_spec, k_spec],
+            scratch_shapes=[
+                pltpu.VMEM((blk_k, d), jnp.float32),
+                pltpu.VMEM((blk_k, d), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sk_p, d), dtype),
+            jax.ShapeDtypeStruct((bh, sk_p, d), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bh * sq_p * sk_p * d,
+            bytes_accessed=2 * bh * (2 * sq_p + 4 * sk_p) * d
+            * qf.dtype.itemsize,
+            transcendentals=bh * sq_p * sk_p,
+        ),
+        interpret=interpret,
+    )(sk_arr, qp, kp, vp, do, lse, dd)
+
+    q_spec2 = pl.BlockSpec((1, blk_q, d), lambda b, i, j, sk: (b, i, 0))
+    k_spec2 = pl.BlockSpec((1, blk_k, d), lambda b, i, j, sk: (b, j, 0))
+    row_spec2 = pl.BlockSpec((1, blk_q, 1), lambda b, i, j, sk: (b, i, 0))
+    (dq,) = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, blk_k=blk_k, scale=scale,
+            needs_mask=needs_mask,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, sq_p // blk_q, sk_p // blk_k),
+            in_specs=[
+                q_spec2, k_spec2, k_spec2, q_spec2, row_spec2, row_spec2
+            ],
+            out_specs=[q_spec2],
+            scratch_shapes=[pltpu.VMEM((blk_q, d), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((bh, sq_p, d), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bh * sq_p * sk_p * d,
+            bytes_accessed=2 * bh * (3 * sq_p + 2 * sk_p) * d
+            * qf.dtype.itemsize,
+            transcendentals=bh * sq_p * sk_p,
+        ),
+        interpret=interpret,
+    )(sk_arr, qp, kp, vp, do, lse, dd)
+
+    if sq_p != sq:
+        dq = dq[:, :sq]
+    if sk_p != sk:
+        dk = dk[:, :sk]
+        dv = dv[:, :sk]
+    return dq, dk, dv
+
+
+def _xla_flat(q, k, v, scale):
+    logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale
     w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", w, v)
+    return jnp.einsum("bqk,bkd->bqd", w, v)
+
+
+def _flatten(x: Array):
+    b, s, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+
+def _unflatten(x: Array, b: int, h: int):
+    bh, s, d = x.shape
+    return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash_bshd(
     q: Array, k: Array, v: Array, scale: float, interpret: bool = False
 ) -> Array:
-    b, sq, h, d = q.shape
-    sk = k.shape[1]
-    qf = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, sk, d)
-    of = _flash_forward(qf, kf, vf, scale, interpret)
-    return of.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    b, _, h, _ = q.shape
+    of, _ = _flash_forward(
+        _flatten(q), _flatten(k), _flatten(v), scale, interpret
+    )
+    return _unflatten(of, b, h)
 
 
 def _flash_fwd(q, k, v, scale, interpret):
-    return _flash_bshd(q, k, v, scale, interpret), (q, k, v)
+    b, _, h, _ = q.shape
+    qf, kf, vf = _flatten(q), _flatten(k), _flatten(v)
+    of, lse = _flash_forward(qf, kf, vf, scale, interpret)
+    return _unflatten(of, b, h), (qf, kf, vf, of, lse)
 
 
-def _flash_bwd(scale, _interpret, res, g):
-    # Backward = recompute with differentiable XLA ops; memory is fine at
-    # latent-grid sequence lengths and it keeps one kernel to maintain.
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_bshd(q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+def _flash_bwd(scale, interpret, res, g):
+    qf, kf, vf, of, lse = res
+    b, _, h, _ = g.shape  # cotangent carries the static (B, S, H, D) shape
+    gf = _flatten(g)
+    if os.environ.get("GMDX_FLASH_BWD", "1") == "0":
+        # XLA recompute fallback: materializes the (Sq, Sk) weights.
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _xla_flat(q_, k_, v_, scale), qf, kf, vf
+        )
+        dqf, dkf, dvf = vjp(gf)
+    else:
+        dqf, dkf, dvf = _flash_backward(
+            qf, kf, vf, of, lse, gf, scale, interpret
+        )
+    return (
+        _unflatten(dqf, b, h),
+        _unflatten(dkf, b, h),
+        _unflatten(dvf, b, h),
+    )
 
 
 _flash_bshd.defvjp(_flash_fwd, _flash_bwd)

@@ -1,0 +1,202 @@
+"""Device-trace profiler for gmdx hot paths.
+
+The reference has no profiler at all (SURVEY.md §5.1); gmdx's answer is
+``gmdx.utils.profiling.trace`` around a jitted workload plus this CLI, which
+captures an XPlane device trace on the real TPU and prints the HLO op-level
+time breakdown (via xprof) — the data that drove the flash-v3 / fused-GN
+kernel work in BENCHNOTES.md.
+
+Usage:
+  python scripts/tools/profile_step.py --workload gm_unet_fwd --iters 10
+  python scripts/tools/profile_step.py --workload dual_step --top 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def build_gm_unet_fwd(batch: int, res: int, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from gmdx.models import SD15_GM_UNET_CONFIG, UNet2DConditionModel
+
+    unet = UNet2DConditionModel(SD15_GM_UNET_CONFIG, dtype=dtype)
+    h = w = res // 8
+    params = jax.jit(unet.init)(
+        jax.random.key(0), jnp.zeros((1, 8, h, w)), jnp.array(1.0),
+        jnp.zeros((1, 77, 768)),
+    )["params"]
+    x = jax.random.normal(jax.random.key(1), (batch, 8, h, w))
+    ctx = jax.random.normal(jax.random.key(2), (batch, 77, 768))
+    t = jnp.array(501, jnp.int32)
+
+    def fn(params, x, t, ctx):
+        return unet.apply({"params": params}, x, t, ctx)
+
+    return fn, (params, x, t, ctx)
+
+
+def build_dual_step(batch: int, res: int, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__  # noqa: F401  (reuse the entry-step algebra)
+    from gmdx.models import (
+        SD15_GM_UNET_CONFIG,
+        SD15_UNET_CONFIG,
+        UNet2DConditionModel,
+    )
+    from gmdx.schedulers import PNDMScheduler
+
+    sdr_unet = UNet2DConditionModel(SD15_UNET_CONFIG, dtype=dtype)
+    gm_unet = UNet2DConditionModel(SD15_GM_UNET_CONFIG, dtype=dtype)
+    acp = PNDMScheduler().alphas_cumprod
+    h = w = res // 8
+    params = {
+        "unet": jax.jit(sdr_unet.init)(
+            jax.random.key(0), jnp.zeros((1, 4, h, w)), jnp.array(1.0),
+            jnp.zeros((1, 77, 768)),
+        )["params"],
+        "gm_unet": jax.jit(gm_unet.init)(
+            jax.random.key(0), jnp.zeros((1, 8, h, w)), jnp.array(1.0),
+            jnp.zeros((1, 77, 768)),
+        )["params"],
+    }
+    lat = jax.random.normal(jax.random.key(1), (batch, 4, h, w))
+    ctx = jax.random.normal(jax.random.key(2), (2 * batch, 77, 768))
+    t = jnp.array(501, jnp.int32)
+
+    def fn(params, latents, gm_latents, context, t):
+        gs = 7.5
+        lat_in = jnp.concatenate([latents, latents], axis=0)
+        ctx_sdr = context
+        eps = sdr_unet.apply({"params": params["unet"]}, lat_in, t, ctx_sdr)
+        eps_u, eps_t = jnp.split(eps, 2, axis=0)
+        eps = eps_u + gs * (eps_t - eps_u)
+        a_t = acp[t]
+        x0 = (latents - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+        gm_in = jnp.concatenate([x0, gm_latents], axis=1)
+        gm_eps = gm_unet.apply(
+            {"params": params["gm_unet"]}, gm_in, t, context[batch:]
+        )
+        return eps, gm_eps
+
+    return fn, (params, lat, lat, ctx, t)
+
+
+def build_vae_decode(batch: int, res: int, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from gmdx.models import SD15_VAE_CONFIG, AutoencoderKL
+
+    vae = AutoencoderKL(SD15_VAE_CONFIG, dtype=dtype)
+    h = w = res // 8
+    params = jax.jit(vae.init)(
+        jax.random.key(0), jnp.zeros((1, 3, 64, 64)), jax.random.key(1)
+    )["params"]
+    lat = jax.random.normal(jax.random.key(1), (batch, 4, h, w))
+
+    def fn(params, lat):
+        return vae.apply({"params": params}, lat, method=vae.decode)
+
+    return fn, (params, lat)
+
+
+WORKLOADS = {
+    "gm_unet_fwd": build_gm_unet_fwd,
+    "dual_step": build_dual_step,
+    "vae_decode": build_vae_decode,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", choices=sorted(WORKLOADS), default="gm_unet_fwd")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--out", default=None, help="trace dir (default: tmp)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(args.dtype)
+    fn, fargs = WORKLOADS[args.workload](args.batch, args.res, dtype)
+    jfn = jax.jit(fn)
+    out = jfn(*fargs)
+    jax.block_until_ready(out)  # compile outside the trace
+
+    trace_dir = args.out or tempfile.mkdtemp(prefix="gmdx_trace_")
+    with jax.profiler.trace(trace_dir):
+        for _ in range(args.iters):
+            out = jfn(*fargs)
+        jax.block_until_ready(out)
+
+    xplanes = glob.glob(
+        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
+    )
+    if not xplanes:
+        raise SystemExit(f"no xplane.pb under {trace_dir}")
+    print(f"trace: {xplanes[0]}")
+    report(xplanes, args.top, args.iters)
+
+
+def report(xplanes, top, iters):
+    """Print per-HLO-category and per-op device time from the XPlane."""
+    from xprof.convert import raw_to_tool_data
+
+    data, _ = raw_to_tool_data.xspace_to_tool_data(
+        xplanes, "hlo_stats", {}
+    )
+    if isinstance(data, bytes):
+        data = data.decode()
+    gviz = json.loads(data)  # google-viz table: {cols: [...], rows: [...]}
+    hdr = [c["label"] for c in gviz["cols"]]
+    table = [[c.get("v") for c in r["c"]] for r in gviz["rows"]]
+    idx = {h: i for i, h in enumerate(hdr)}
+
+    def col(r, name, default=0.0):
+        i = idx.get(name)
+        return r[i] if i is not None else default
+
+    cats = {}
+    ops = []
+    for r in table:
+        cat = col(r, "HLO op category", "?")
+        t = float(col(r, "Total self time (us)", 0.0) or 0.0)
+        fw = str(col(r, "Framework op name", "") or "")
+        name = str(col(r, "HLO op name", "?"))
+        bound = str(col(r, "Bound by", "") or "")
+        cats[cat] = cats.get(cat, 0.0) + t
+        ops.append((t, cat, name, fw[-90:], bound))
+
+    total = sum(cats.values())
+    print(f"\ndevice total: {total/1e3:.2f} ms over {iters} iters "
+          f"({total/1e3/iters:.2f} ms/iter)")
+    print("\n== by category ==")
+    for cat, t in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"{t/total*100:5.1f}%  {t/1e3:8.2f} ms  {cat}")
+    print(f"\n== top {top} ops ==")
+    ops.sort(key=lambda o: -o[0])
+    for t, cat, name, fw, bound in ops[:top]:
+        print(
+            f"{t/total*100:5.1f}%  {t/1e3:8.2f} ms  [{cat}]"
+            f"[{bound}] {name}  {fw}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,65 @@ class TestFlashAttention:
         assert float(jnp.abs(g).max()) > 0
 
 
+class TestFlashAttentionBackward:
+    """Pallas backward kernels (dQ / dK / dV) vs XLA autodiff grads."""
+
+    @staticmethod
+    def _grads(fn, q, k, v, g):
+        out, vjp = jax.vjp(fn, q, k, v)
+        return out, vjp(g)
+
+    @pytest.mark.parametrize(
+        "sq,sk,h,d",
+        [
+            (256, 256, 2, 40),  # block-aligned self-attention
+            (300, 300, 2, 40),  # misaligned q and k (pad + mask paths)
+            (128, 77, 2, 40),  # cross-attention with masked key tail
+            (64, 2048, 1, 64),  # multi-block k (sequential dq accumulation)
+            (640, 128, 2, 32),  # multi-block q (sequential dkv accumulation)
+        ],
+    )
+    def test_matches_xla_grads(self, sq, sk, h, d):
+        q = jax.random.normal(jax.random.key(0), (2, sq, h, d))
+        k = jax.random.normal(jax.random.key(1), (2, sk, h, d))
+        v = jax.random.normal(jax.random.key(2), (2, sk, h, d))
+        g = jax.random.normal(jax.random.key(3), (2, sq, h, d))
+        scale = d**-0.5
+
+        out, (dq, dk, dv) = self._grads(
+            lambda q, k, v: flash_attention(q, k, v, interpret=True), q, k, v, g
+        )
+        ref_out, (rdq, rdk, rdv) = self._grads(
+            lambda q, k, v: _xla_attention(q, k, v, scale), q, k, v, g
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref_out), rtol=2e-3, atol=2e-3
+        )
+        for got, want, name in [(dq, rdq, "dq"), (dk, rdk, "dk"), (dv, rdv, "dv")]:
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3,
+                err_msg=name,
+            )
+
+    def test_xla_recompute_fallback_env(self, monkeypatch):
+        """GMDX_FLASH_BWD=0 routes the backward through XLA recompute."""
+        monkeypatch.setenv("GMDX_FLASH_BWD", "0")
+        q = jax.random.normal(jax.random.key(0), (1, 128, 2, 40))
+        g = jax.random.normal(jax.random.key(1), (1, 128, 2, 40))
+        _, (dq, dk, dv) = self._grads(
+            lambda q, k, v: flash_attention(q, k, v, interpret=True), q, q, q, g
+        )
+        _, (rdq, rdk, rdv) = self._grads(
+            lambda q, k, v: _xla_attention(q, k, v, 40**-0.5), q, q, q, g
+        )
+        np.testing.assert_allclose(
+            np.asarray(dq), np.asarray(rdq), rtol=2e-3, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(dv), np.asarray(rdv), rtol=2e-3, atol=2e-3
+        )
+
+
 class TestFusedGroupNorm:
     @staticmethod
     def _ref(x, scale, bias, G, eps=1e-5, act=True):
