@@ -13,6 +13,7 @@ the global (mesh-wide) batch so a sharded device_put needs no reshaping.
 from __future__ import annotations
 
 import io
+import os
 import queue
 import threading
 from typing import Dict, Iterator, List, Optional, Sequence
@@ -54,6 +55,13 @@ class ParquetImageDataset:
         gm = Image.open(io.BytesIO(row["gainmap"]))
         return sdr, gm, row["text"]
 
+    def load_pair_bytes(self, idx: int):
+        """Raw encoded bytes (native decode path)."""
+        row = self[idx]
+        with open(row["sdr"], "rb") as f:
+            sdr = f.read()
+        return sdr, row["gainmap"], row["text"]
+
 
 def make_dataloader(
     dataset: ParquetImageDataset,
@@ -68,10 +76,16 @@ def make_dataloader(
     num_epochs: Optional[int] = None,
     num_workers: int = 4,
     max_samples: Optional[int] = None,
+    use_native: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields batches: pixel_values / gainmap_values (B, 3, R, R) float32 in
     [-1, 1], input_ids / attention_mask (B, 77) int32. Drops the last ragged
-    batch (static shapes for jit)."""
+    batch (static shapes for jit).
+
+    ``use_native`` routes decode+preprocess through the C++ thread pool
+    (native/imagedec.cpp, ``num_workers`` threads); crop/flip draws use the
+    same per-batch Generator calls in the same order as the PIL path, so the
+    two paths produce the same batches (up to resize rounding)."""
 
     n = len(dataset) if max_samples is None else min(max_samples, len(dataset))
     if n < batch_size:
@@ -89,6 +103,61 @@ def make_dataloader(
             "gainmap_values": gv,
             "input_ids": tok["input_ids"][0],
             "attention_mask": tok["attention_mask"][0],
+        }
+
+    def native_batch(idxs, rng: np.random.Generator) -> Optional[Dict[str, np.ndarray]]:
+        """One C++ thread-pool call per image column; None -> PIL fallback."""
+        from gmdx import native as gmdx_native
+        from gmdx.data.transforms import resized_dims
+
+        if gmdx_native.lib() is None:
+            return None
+        sdr_blobs, gm_blobs, texts = [], [], []
+        tops, lefts, flips = [], [], []
+        for i in idxs:
+            sdr_b, gm_b, text = dataset.load_pair_bytes(int(i))
+            sdr_dims = gmdx_native.probe_image_native(sdr_b)
+            gm_dims = gmdx_native.probe_image_native(gm_b)
+            if sdr_dims is None or gm_dims is None:
+                return None  # unsupported codec: let PIL handle the batch
+            rw, rh = resized_dims(*sdr_dims, resolution)
+            if resized_dims(*gm_dims, resolution) != (rw, rh):
+                raise ValueError(
+                    f"paired images disagree on shape after resize: "
+                    f"sdr {sdr_dims} vs gm {gm_dims}"
+                )
+            if rh < resolution or rw < resolution:
+                raise ValueError(
+                    f"image {rh}x{rw} smaller than crop {resolution}"
+                )
+            # Same draws in the same order as preprocess_pair for parity.
+            if center_crop:
+                top, left = -1, -1
+            else:
+                top = int(rng.integers(0, rh - resolution + 1))
+                left = int(rng.integers(0, rw - resolution + 1))
+            flip = bool(random_flip and rng.random() < 0.5)
+            sdr_blobs.append(sdr_b)
+            gm_blobs.append(gm_b)
+            texts.append(text)
+            tops.append(top)
+            lefts.append(left)
+            flips.append(flip)
+        nt = min(num_workers, os.cpu_count() or 1)
+        pv = gmdx_native.preprocess_batch_native(
+            sdr_blobs, resolution, tops, lefts, flips, n_threads=nt
+        )
+        gv = gmdx_native.preprocess_batch_native(
+            gm_blobs, resolution, tops, lefts, flips, n_threads=nt
+        )
+        if pv is None or gv is None:
+            return None
+        toks = [tokenizer(t) for t in texts]
+        return {
+            "pixel_values": pv,
+            "gainmap_values": gv,
+            "input_ids": np.stack([t["input_ids"][0] for t in toks]),
+            "attention_mask": np.stack([t["attention_mask"][0] for t in toks]),
         }
 
     def epochs() -> Iterator[np.ndarray]:
@@ -109,10 +178,17 @@ def make_dataloader(
                 for start in range(0, n - batch_size + 1, batch_size):
                     idxs = order[start : start + batch_size]
                     rng = np.random.default_rng((seed, epoch, start))
-                    items = [sample(int(i), rng) for i in idxs]
-                    batch = {
-                        k: np.stack([it[k] for it in items]) for k in items[0]
-                    }
+                    batch = None
+                    if use_native and os.environ.get("GMDX_NO_NATIVE") != "1":
+                        batch = native_batch(idxs, rng)
+                        if batch is None:  # re-seed: draws must match fresh
+                            rng = np.random.default_rng((seed, epoch, start))
+                    if batch is None:
+                        items = [sample(int(i), rng) for i in idxs]
+                        batch = {
+                            k: np.stack([it[k] for it in items])
+                            for k in items[0]
+                        }
                     out_q.put(batch)
         except BaseException as e:  # noqa: BLE001 — forwarded to consumer
             out_q.put(e)

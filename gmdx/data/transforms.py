@@ -17,14 +17,18 @@ import numpy as np
 from PIL import Image
 
 
+def resized_dims(w: int, h: int, size: int) -> Tuple[int, int]:
+    """(new_w, new_h) of a shorter-side resize to ``size``. Shared with the
+    native loader (native/imagedec.cpp mirrors this rounding)."""
+    if w <= h:
+        return size, max(1, round(h * size / w))
+    return max(1, round(w * size / h)), size
+
+
 def resize_shorter_side(img: Image.Image, size: int) -> Image.Image:
     """Bilinear resize so the shorter side equals ``size`` (torchvision
     transforms.Resize(int) semantics)."""
-    w, h = img.size
-    if w <= h:
-        new_w, new_h = size, max(1, round(h * size / w))
-    else:
-        new_w, new_h = max(1, round(w * size / h)), size
+    new_w, new_h = resized_dims(*img.size, size)
     return img.resize((new_w, new_h), Image.BILINEAR)
 
 
@@ -91,4 +95,10 @@ def preprocess_pair(
     return to_model_range(a), to_model_range(b)
 
 
-__all__ = ["resize_shorter_side", "paired_crop", "to_model_range", "preprocess_pair"]
+__all__ = [
+    "resized_dims",
+    "resize_shorter_side",
+    "paired_crop",
+    "to_model_range",
+    "preprocess_pair",
+]

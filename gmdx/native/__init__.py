@@ -89,6 +89,32 @@ def lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_long,
     ]
+    l.gmdx_image_probe.restype = ctypes.c_int
+    l.gmdx_image_probe.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    l.gmdx_image_decode_rgb8.restype = ctypes.c_int
+    l.gmdx_image_decode_rgb8.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
+    l.gmdx_preprocess_batch.restype = ctypes.c_int
+    l.gmdx_preprocess_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+    ]
     _lib = l
     return _lib
 
@@ -132,4 +158,94 @@ def read_hdr_native(path: str) -> Optional[np.ndarray]:
     return out if rc == 0 else None
 
 
-__all__ = ["lib", "ensure_built", "write_hdr_native", "read_hdr_native"]
+def probe_image_native(blob: bytes) -> Optional[tuple]:
+    """(width, height) of encoded PNG/JPEG bytes; None = use PIL fallback."""
+    l = lib()
+    if l is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if l.gmdx_image_probe(blob, len(blob), ctypes.byref(w), ctypes.byref(h)):
+        return None
+    return (w.value, h.value)
+
+
+def decode_image_native(blob: bytes) -> Optional[np.ndarray]:
+    """Decode PNG/JPEG bytes to an (H, W, 3) uint8 array; None = fallback."""
+    dims = probe_image_native(blob)
+    if dims is None:
+        return None
+    l = lib()
+    w, h = dims
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    rc = l.gmdx_image_decode_rgb8(
+        blob, len(blob),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.nbytes,
+    )
+    return out if rc == 0 else None
+
+
+def preprocess_batch_native(
+    blobs,
+    resolution: int,
+    tops=None,
+    lefts=None,
+    flips=None,
+    n_threads: Optional[int] = None,
+) -> Optional[np.ndarray]:
+    """Thread-pooled decode -> shorter-side resize -> crop -> flip ->
+    normalize for a batch of encoded images.
+
+    ``tops``/``lefts`` are post-resize crop offsets (None or -1 entries =
+    center crop); ``flips`` are per-item booleans. Returns (N, 3, R, R)
+    float32 in [-1, 1], or None when the native library is unavailable or
+    any item fails to decode (callers fall back to the PIL path).
+    """
+    l = lib()
+    if l is None:
+        return None
+    n = len(blobs)
+    if n_threads is None:
+        # More threads than cores thrashes a small host (decode is
+        # compute-bound); saturating the cores is the useful maximum.
+        n_threads = min(n, os.cpu_count() or 1)
+    blobs = [bytes(b) for b in blobs]  # keep referenced until the call ends
+    datas = (ctypes.c_char_p * n)(*blobs)
+    lens = (ctypes.c_int64 * n)(*[len(b) for b in blobs])
+
+    def _i64(v):
+        if v is None:
+            return None
+        return (ctypes.c_int64 * n)(*[int(x) for x in v])
+
+    tops_arr = _i64(tops)
+    lefts_arr = _i64(lefts)
+    flips_arr = (
+        (ctypes.c_uint8 * n)(*[1 if f else 0 for f in flips])
+        if flips is not None
+        else None
+    )
+    out = np.empty((n, 3, resolution, resolution), dtype=np.float32)
+    rc = l.gmdx_preprocess_batch(
+        datas,
+        lens,
+        n,
+        resolution,
+        tops_arr,
+        lefts_arr,
+        flips_arr,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_threads,
+    )
+    return out if rc == 0 else None
+
+
+__all__ = [
+    "lib",
+    "ensure_built",
+    "write_hdr_native",
+    "read_hdr_native",
+    "probe_image_native",
+    "decode_image_native",
+    "preprocess_batch_native",
+]

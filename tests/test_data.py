@@ -150,3 +150,31 @@ class TestDataloader:
         )
         batches = list(loader)
         assert len(batches) == 1  # 6 // 4
+
+
+class TestNativeLoaderParity:
+    def test_native_and_pil_paths_agree(self, parquet_path):
+        """The C++ batch loader must reproduce the PIL path — same crop/flip
+        draws (shared RNG protocol), pixels within 1 uint8 LSB of the
+        Pillow-compatible resize."""
+        from gmdx import native
+
+        if not native.ensure_built() or native.lib() is None:
+            pytest.skip("native toolchain unavailable")
+        ds = ParquetImageDataset(parquet_path)
+        tok = CLIPTokenizer.tiny()
+
+        def batches(use_native):
+            loader = make_dataloader(
+                ds, tok, batch_size=2, resolution=32, num_epochs=1, seed=3,
+                random_flip=True, use_native=use_native,
+            )
+            return list(loader)
+
+        nat, pil = batches(True), batches(False)
+        assert len(nat) == len(pil)
+        for bn, bp in zip(nat, pil):
+            np.testing.assert_array_equal(bn["input_ids"], bp["input_ids"])
+            for k in ("pixel_values", "gainmap_values"):
+                assert bn[k].shape == bp[k].shape
+                assert np.abs(bn[k] - bp[k]).max() <= (1.5 / 127.5), k

@@ -99,3 +99,112 @@ class TestNativeRGBE:
         t_python = time.perf_counter() - t0
         assert open(p1, "rb").read() == open(p2, "rb").read()
         assert t_native < t_python / 5, (t_native, t_python)
+
+
+def _png_bytes(arr):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _jpeg_bytes(arr, quality=92):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+class TestNativeImageDecode:
+    def test_probe(self, built):
+        arr = np.zeros((40, 60, 3), np.uint8)
+        assert native.probe_image_native(_png_bytes(arr)) == (60, 40)
+        assert native.probe_image_native(_jpeg_bytes(arr)) == (60, 40)
+        assert native.probe_image_native(b"not an image") is None
+
+    def test_png_decode_exact(self, built):
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+        got = native.decode_image_native(_png_bytes(arr))
+        np.testing.assert_array_equal(got, arr)
+
+    def test_png_rgba_drops_alpha(self, built):
+        """PIL convert("RGB") drops alpha without compositing; so do we."""
+        rng = np.random.default_rng(1)
+        rgba = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+        got = native.decode_image_native(_png_bytes(rgba))
+        np.testing.assert_array_equal(got, rgba[..., :3])
+
+    def test_jpeg_decode_matches_pil(self, built):
+        import io
+
+        from PIL import Image
+
+        rng = np.random.default_rng(2)
+        # Smooth gradient: JPEG is lossy, but both sides use libjpeg so the
+        # decode of the SAME bytes should agree to the last bit (same IDCT).
+        y, x = np.mgrid[0:64, 0:64]
+        arr = np.stack([y * 4, x * 4, (y + x) * 2], -1).astype(np.uint8)
+        blob = _jpeg_bytes(arr)
+        got = native.decode_image_native(blob)
+        want = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    def test_preprocess_matches_pil_center(self, built):
+        """decode -> shorter-side resize -> center crop -> normalize parity
+        with gmdx.data.transforms.preprocess_pair (<=1 uint8 LSB from the
+        resize quantization)."""
+        import io as _io
+
+        from PIL import Image
+
+        from gmdx.data.transforms import preprocess_pair
+
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 256, (96, 130, 3), dtype=np.uint8)
+        blob = _png_bytes(arr)
+        res = 64
+        got = native.preprocess_batch_native([blob], res)
+        assert got is not None and got.shape == (1, 3, res, res)
+        img = Image.open(_io.BytesIO(blob))
+        want, _ = preprocess_pair(img, img, res, center_crop=True)
+        assert np.abs(got[0] - want).max() <= (1.5 / 127.5)
+
+    def test_preprocess_crop_flip(self, built):
+        """Explicit crop offsets + flip match the numpy transform chain."""
+        from gmdx.data.transforms import resize_shorter_side, to_model_range
+        import io as _io
+
+        from PIL import Image
+
+        rng = np.random.default_rng(4)
+        tall = rng.integers(0, 256, (160, 100, 3), dtype=np.uint8)  # top free
+        wide = rng.integers(0, 256, (100, 160, 3), dtype=np.uint8)  # left free
+        blobs = [_png_bytes(tall), _png_bytes(wide)]
+        res = 48
+        tops, lefts, flips = [7, 0], [0, 21], [True, False]
+        got = native.preprocess_batch_native(
+            blobs, res, tops=tops, lefts=lefts, flips=flips
+        )
+        assert got is not None
+        for i, blob in enumerate(blobs):
+            resized = np.asarray(
+                resize_shorter_side(Image.open(_io.BytesIO(blob)), res)
+            )
+            window = resized[
+                tops[i] : tops[i] + res, lefts[i] : lefts[i] + res
+            ]
+            if flips[i]:
+                window = window[:, ::-1]
+            want = to_model_range(window)
+            assert np.abs(got[i] - want).max() <= (1.5 / 127.5)
+
+    def test_bad_bytes_fail_batch(self, built):
+        out = native.preprocess_batch_native([b"corrupt"], 32)
+        assert out is None
