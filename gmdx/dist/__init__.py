@@ -11,6 +11,7 @@ from gmdx.dist.multihost import (
 from gmdx.dist.mesh import (
     make_mesh,
     zero1_shard,
+    fsdp_shard,
     data_sharding,
     replicated_sharding,
     shard_batch,
@@ -26,6 +27,7 @@ __all__ = [
     "broadcast_from_main",
     "make_mesh",
     "zero1_shard",
+    "fsdp_shard",
     "data_sharding",
     "replicated_sharding",
     "shard_batch",

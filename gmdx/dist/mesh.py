@@ -67,16 +67,9 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def zero1_shard(mesh: Mesh, tree, axis: str = "data"):
-    """ZeRO-1-style sharding: split each leaf's largest divisible axis over
-    the data axis (replicate leaves with no divisible axis).
-
-    Intended for optimizer state (Adam m/v are as large as the params): the
-    reference only has DeepSpeed *plumbing* for this (SURVEY.md §2.3); here
-    the SPMD partitioner consumes these shardings directly — the jitted train
-    step updates each shard locally and XLA inserts the all-gather where the
-    updated params are consumed.
-    """
+def _shard_largest_axis(mesh: Mesh, tree, axis: str):
+    """Split each leaf's largest divisible dim over ``axis`` (replicate
+    leaves with no divisible dim). The building block for ZeRO-1 and FSDP."""
     n = mesh.shape[axis]
 
     def put(x):
@@ -95,9 +88,41 @@ def zero1_shard(mesh: Mesh, tree, axis: str = "data"):
     return jax.tree.map(put, tree)
 
 
+def zero1_shard(mesh: Mesh, tree, axis: str = "data"):
+    """ZeRO-1-style sharding: split each leaf's largest divisible axis over
+    the data axis (replicate leaves with no divisible axis).
+
+    Intended for optimizer state (Adam m/v are as large as the params): the
+    reference only has DeepSpeed *plumbing* for this (SURVEY.md §2.3); here
+    the SPMD partitioner consumes these shardings directly — the jitted train
+    step updates each shard locally and XLA inserts the all-gather where the
+    updated params are consumed.
+    """
+    return _shard_largest_axis(mesh, tree, axis)
+
+
+def fsdp_shard(mesh: Mesh, tree, axis: str = "data"):
+    """FSDP/ZeRO-3-style sharding: the *parameters* themselves (and, applied
+    to the optimizer state too, everything per-parameter) live split over the
+    data axis.
+
+    TPU-native mechanics (scaling-book recipe — annotate, let XLA place the
+    collectives): pass params sharded this way into the jitted train step and
+    keep the same sharding on the outputs; the SPMD partitioner inserts
+    weight all-gathers where layers consume them in fwd/bwd and a
+    reduce-scatter for the gradients, i.e. classic FSDP scheduling without
+    any hand-written communication. Peak per-chip memory for params/grads/
+    opt-state drops by ~the mesh size; the trade is all-gather traffic on
+    ICI each step. Use when the model (or its optimizer state) no longer
+    fits replicated — e.g. EMA + Adam at >1024^2 ControlNet scale.
+    """
+    return _shard_largest_axis(mesh, tree, axis)
+
+
 __all__ = [
     "make_mesh",
     "zero1_shard",
+    "fsdp_shard",
     "data_sharding",
     "replicated_sharding",
     "shard_batch",

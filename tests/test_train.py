@@ -362,3 +362,57 @@ class TestFSDPStyleParams:
         np.testing.assert_allclose(
             float(m_fsdp["loss"]), float(m_rep["loss"]), rtol=1e-4
         )
+
+
+class TestFSDP:
+    def test_fsdp_params_match_replicated(self, stage2_setup):
+        """FSDP-sharded params + optimizer state must track the replicated
+        two-step loss trajectory — XLA all-gathers weights at use and
+        reduce-scatters gradients from the sharding annotations alone."""
+        from gmdx.dist import fsdp_shard
+        from gmdx.train.stage2 import Stage2State
+
+        unet, vae, text, unet_params, frozen, batch = stage2_setup
+        cfg = Stage2Config(learning_rate=1e-3)
+        opt = make_optimizer(cfg)
+        step = make_train_step(
+            cfg, unet=unet, vae=vae, text_encoder=text,
+            optimizer=opt, donate=False,
+        )
+        big = jax.tree.map(lambda x: jnp.concatenate([x] * 4, axis=0), batch)
+        mesh = make_mesh(8)
+        sb = shard_batch(mesh, big)
+        fr = replicate(mesh, frozen)
+
+        def two_steps(state):
+            state, m1 = step(state, fr, sb, jax.random.key(0))
+            state, m2 = step(state, fr, sb, jax.random.key(1))
+            return float(m1["loss"]), float(m2["loss"])
+
+        base = init_state(cfg, unet_params, opt)
+        l_rep = two_steps(replicate(mesh, base))
+        sharded = Stage2State(
+            params=fsdp_shard(mesh, base.params),
+            opt_state=fsdp_shard(mesh, base.opt_state),
+            ema=None,
+            step=jax.device_put(
+                base.step, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec()
+                )
+            ),
+        )
+        l_fsdp = two_steps(sharded)
+        np.testing.assert_allclose(l_fsdp, l_rep, rtol=1e-4)
+
+    def test_fsdp_actually_shards_params(self, stage2_setup):
+        from gmdx.dist import fsdp_shard
+
+        unet, vae, text, unet_params, frozen, batch = stage2_setup
+        mesh = make_mesh(8)
+        params = fsdp_shard(mesh, unet_params)
+        sharded_leaves = [
+            x for x in jax.tree.leaves(params)
+            if hasattr(x, "sharding")
+            and not x.sharding.is_fully_replicated
+        ]
+        assert sharded_leaves, "no param leaf ended up sharded"
