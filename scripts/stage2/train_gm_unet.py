@@ -57,6 +57,14 @@ def parse_args():
     p.add_argument("--max_train_steps", type=int, default=None)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument(
+        "--shard_strategy",
+        choices=["ddp", "zero1", "fsdp"],
+        default="ddp",
+        help="ddp: replicated params+opt (reference DDP equivalent); "
+        "zero1: optimizer state sharded over the data axis; fsdp: params "
+        "AND optimizer state sharded (ZeRO-3), weights all-gathered at use.",
+    )
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--scale_lr", action="store_true")
     p.add_argument("--lr_scheduler", type=str, default="constant")
@@ -295,7 +303,24 @@ def main():
         max_samples=args.max_train_samples,
     )
 
-    state = replicate(mesh, state)
+    if args.shard_strategy == "zero1":
+        from gmdx.dist import zero1_shard
+
+        state = dataclasses.replace(
+            replicate(mesh, state),
+            opt_state=zero1_shard(mesh, state.opt_state),
+        )
+    elif args.shard_strategy == "fsdp":
+        from gmdx.dist import fsdp_shard
+
+        state = dataclasses.replace(
+            replicate(mesh, state),
+            params=fsdp_shard(mesh, state.params),
+            opt_state=fsdp_shard(mesh, state.opt_state),
+            ema=fsdp_shard(mesh, state.ema) if state.ema is not None else None,
+        )
+    else:
+        state = replicate(mesh, state)
     frozen_dev = replicate(mesh, frozen)
     metrics_log = MetricsLogger(
         os.path.join(args.output_dir, args.logging_dir),

@@ -131,6 +131,31 @@ class TestStage2CLI:
         assert r.returncode != 0
         assert "dead flags" in r.stderr
 
+    def test_fsdp_shard_strategy(self, workdir):
+        """--shard_strategy fsdp trains over the 8-device CPU mesh with
+        params + opt state sharded (conftest forces the virtual mesh)."""
+        root, meta, _ = workdir
+        out = str(root / "s2out_fsdp")
+        r = run_script(
+            "scripts/stage2/train_gm_unet.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--train_metadata", meta,
+                "--output_dir", out,
+                "--resolution", "64",
+                "--train_batch_size", "1",
+                "--max_train_steps", "2",
+                "--learning_rate", "1e-4",
+                "--seed", "0",
+                "--shard_strategy", "fsdp",
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        lines = open(
+            os.path.join(out, "logs", "metrics.jsonl")
+        ).read().strip().splitlines()
+        assert any("train_loss" in l for l in lines)
+
 
 class TestStage3CLI:
     def test_generate_hdr(self, workdir):
