@@ -317,10 +317,18 @@ def _flash_backward(
     bh, sq, d = qf.shape
     sk = kf.shape[1]
 
-    # 512-wide blocks: the backward holds 4 operand blocks + 3 live fp32
-    # (blk_q, blk_k) intermediates + 2 fp32 scratch accumulators in VMEM.
-    blk_q = min(512, _round_up(sq, 128))
-    blk_k = min(512, _round_up(sk, 128))
+    # The backward holds 4 operand blocks + 3 live fp32 (blk_q, blk_k)
+    # intermediates + the dK/dV fp32 scratch accumulators in VMEM. Measured
+    # on v5e at the SD hot shape (BH64/S4096/D40, in-scan): 512q/1024k
+    # 9.5 ms vs 10.1 at 512/512 and 9.7 at 1024/1024 — wider K blocks halve
+    # the Q re-reads in the dKV pass. At the VAE's 512-wide head the fp32
+    # intermediates alone would be 3x2 MB/block-pair, so halve K there.
+    cap_q = int(os.environ.get("GMDX_FLASH_BWD_BLKQ", "512"))
+    cap_k = int(
+        os.environ.get("GMDX_FLASH_BWD_BLKK", "1024" if d <= 256 else "512")
+    )
+    blk_q = min(cap_q, _round_up(sq, 128))
+    blk_k = min(cap_k, _round_up(sk, 128))
     sq_p = _round_up(sq, blk_q)
     sk_p = _round_up(sk, blk_k)
 
