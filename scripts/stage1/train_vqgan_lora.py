@@ -12,6 +12,7 @@ augmentation (--clip_pixel, prob 0.7) runs on host before sharding.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import logging
 import os
 import time
@@ -58,6 +59,14 @@ def parse_args():
     p.add_argument("--max_train_steps", type=int, default=None)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument(
+        "--shard_strategy",
+        choices=["ddp", "zero1", "fsdp"],
+        default="ddp",
+        help="ddp: replicated (reference DDP equivalent); zero1: both "
+        "optimizer states sharded over the data axis; fsdp: generator "
+        "trainables + discriminator params + optimizer states sharded.",
+    )
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--discr_learning_rate", type=float, default=1e-4)
     p.add_argument("--scale_lr", action="store_true")
@@ -292,7 +301,27 @@ def main():
         logger.info("resumed from checkpoint step %d", resume_step)
 
     frozen = {"vae": vae_params, "vgg": vgg_params}
-    state = replicate(mesh, state)
+    if args.shard_strategy == "zero1":
+        from gmdx.dist import zero1_shard
+
+        state = dataclasses.replace(
+            replicate(mesh, state),
+            opt_state=zero1_shard(mesh, state.opt_state),
+            disc_opt_state=zero1_shard(mesh, state.disc_opt_state),
+        )
+    elif args.shard_strategy == "fsdp":
+        from gmdx.dist import fsdp_shard
+
+        state = dataclasses.replace(
+            replicate(mesh, state),
+            trainables=fsdp_shard(mesh, state.trainables),
+            disc_params=fsdp_shard(mesh, state.disc_params),
+            opt_state=fsdp_shard(mesh, state.opt_state),
+            disc_opt_state=fsdp_shard(mesh, state.disc_opt_state),
+            ema=fsdp_shard(mesh, state.ema) if state.ema is not None else None,
+        )
+    else:
+        state = replicate(mesh, state)
     frozen_dev = replicate(mesh, frozen)
 
     loader = make_dataloader(

@@ -112,10 +112,69 @@ def build_vae_decode(batch: int, res: int, dtype):
     return fn, (params, lat)
 
 
+def build_train_step(batch: int, res: int, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from gmdx.models import (
+        AutoencoderKL,
+        CLIPTextModel,
+        CLIP_VIT_L_CONFIG,
+        SD15_GM_UNET_CONFIG,
+        SD15_VAE_CONFIG,
+        UNet2DConditionModel,
+    )
+    from gmdx.schedulers import DDPMScheduler
+    from gmdx.train import (
+        Stage2Config,
+        init_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    unet = UNet2DConditionModel(SD15_GM_UNET_CONFIG, dtype=dtype)
+    vae = AutoencoderKL(SD15_VAE_CONFIG, dtype=dtype)
+    text = CLIPTextModel(CLIP_VIT_L_CONFIG, dtype=dtype)
+    h = w = res // 8
+    unet_params = jax.jit(unet.init)(
+        jax.random.key(0), jnp.zeros((1, 8, h, w)), jnp.array(1.0),
+        jnp.zeros((1, 77, 768)),
+    )["params"]
+    frozen = {
+        "vae": jax.jit(vae.init)(
+            jax.random.key(1), jnp.zeros((1, 3, 64, 64)), jax.random.key(2)
+        )["params"],
+        "text_encoder": jax.jit(text.init)(
+            jax.random.key(3), jnp.zeros((1, 77), jnp.int32)
+        )["params"],
+    }
+    cfg = Stage2Config(use_ema=False, use_8bit_adam=True)
+    opt = make_optimizer(cfg)
+    state = init_state(cfg, unet_params, opt)
+    step = make_train_step(
+        cfg, unet=unet, vae=vae, text_encoder=text,
+        noise_scheduler=DDPMScheduler(), optimizer=opt, donate=False,
+    )
+    batch_data = {
+        "sdr": jax.random.uniform(jax.random.key(4), (batch, 3, res, res))
+        * 2 - 1,
+        "gm": jax.random.uniform(jax.random.key(5), (batch, 3, res, res))
+        * 2 - 1,
+        "input_ids": jnp.ones((batch, 77), jnp.int32),
+    }
+
+    def fn(state, frozen, batch_data, key):
+        _, metrics = step(state, frozen, batch_data, key)
+        return metrics["loss"]
+
+    return fn, (state, frozen, batch_data, jax.random.key(6))
+
+
 WORKLOADS = {
     "gm_unet_fwd": build_gm_unet_fwd,
     "dual_step": build_dual_step,
     "vae_decode": build_vae_decode,
+    "train_step": build_train_step,
 }
 
 

@@ -270,3 +270,28 @@ class TestStage1CLI:
         val = os.path.join(out, "validation")
         assert any(n.endswith(".hdr") for n in os.listdir(val))
         assert os.path.exists(os.path.join(val, "evaluation_log.txt"))
+
+
+class TestStage1FSDP:
+    def test_fsdp_shard_strategy(self, workdir):
+        """Stage-1 trainer over the virtual mesh with generator trainables,
+        discriminator params, and both optimizer states sharded."""
+        root, meta, _ = workdir
+        out = str(root / "s1out_fsdp")
+        r = run_script(
+            "scripts/stage1/train_vqgan_lora.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--train_metadata", meta,
+                "--output_dir", out,
+                "--resolution", "64",
+                "--train_batch_size", "1",
+                "--max_train_steps", "2",
+                "--rank", "2",
+                "--seed", "0",
+                "--shard_strategy", "fsdp",
+            ],
+            timeout=1200,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert os.path.isdir(os.path.join(out, "finetuned_VAE", "vae"))
