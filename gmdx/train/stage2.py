@@ -181,8 +181,23 @@ def make_train_step(
             )
             return post.sample(k) * scaling
 
-        sdr_latents = encode(batch["sdr"], k_sdr)
-        gm_latents = encode(batch["gm"], k_gm)
+        if "sdr_latent_mean" in batch:
+            # Cached-latent path (--cache_latents): the frozen VAE encodes
+            # are ~46% of the device step at 512² (BENCHNOTES.md), and the
+            # posterior (mean, std) is a deterministic function of the
+            # image — cache those and keep the per-step posterior *sampling*
+            # on device, so the training distribution is unchanged.
+            def sample_cached(prefix, k):
+                mean = batch[f"{prefix}_latent_mean"].astype(jnp.float32)
+                std = batch[f"{prefix}_latent_std"].astype(jnp.float32)
+                eps = jax.random.normal(k, mean.shape, jnp.float32)
+                return ((mean + std * eps) * scaling).astype(wd)
+
+            sdr_latents = sample_cached("sdr", k_sdr)
+            gm_latents = sample_cached("gm", k_gm)
+        else:
+            sdr_latents = encode(batch["sdr"], k_sdr)
+            gm_latents = encode(batch["gm"], k_gm)
         context = text_encoder.apply(
             {"params": frozen["text_encoder"]}, batch["input_ids"]
         )

@@ -65,6 +65,16 @@ def parse_args():
         "zero1: optimizer state sharded over the data axis; fsdp: params "
         "AND optimizer state sharded (ZeRO-3), weights all-gathered at use.",
     )
+    p.add_argument(
+        "--cache_latents",
+        action="store_true",
+        help="Precompute the frozen VAE's posterior (mean, std) for every "
+        "sample once and train from cached latents — the per-step posterior "
+        "sampling stays on device so the training distribution is unchanged. "
+        "The two 512^2 VAE encodes are ~46%% of the device step "
+        "(BENCHNOTES.md). Requires --center_crop and no --random_flip "
+        "(latents are cached for one deterministic preprocess).",
+    )
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--scale_lr", action="store_true")
     p.add_argument("--lr_scheduler", type=str, default="constant")
@@ -169,6 +179,64 @@ def log_validation(args, pipe, params, step, val_dir):
             qmax=49.0,
         )
     logger.info("validation images written to %s", val_dir)
+
+
+def build_latent_cache(dataset, tokenizer, vae, vae_params, args, batch_size):
+    """One pass over the dataset: posterior (mean, std) of both image
+    columns through the frozen VAE, float16 in host RAM (~128 KB/sample at
+    512²), plus the tokenized captions."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gmdx.data import make_dataloader
+
+    @jax.jit
+    def stats(params, images):
+        post = vae.apply({"params": params}, images, method=vae.encode)
+        return post.mean, post.std
+
+    loader = make_dataloader(
+        dataset, tokenizer, batch_size=batch_size,
+        resolution=args.resolution, center_crop=True, random_flip=False,
+        shuffle=False, num_epochs=1,
+        num_workers=args.dataloader_num_workers,
+        max_samples=args.max_train_samples,
+    )
+    out = {k: [] for k in (
+        "sdr_latent_mean", "sdr_latent_std",
+        "gm_latent_mean", "gm_latent_std", "input_ids",
+    )}
+    n = 0
+    for batch in loader:
+        for col, prefix in (("pixel_values", "sdr"), ("gainmap_values", "gm")):
+            m, s = stats(vae_params, jnp.asarray(batch[col]))
+            out[f"{prefix}_latent_mean"].append(
+                np.asarray(m, dtype=np.float16)
+            )
+            out[f"{prefix}_latent_std"].append(np.asarray(s, dtype=np.float16))
+        out["input_ids"].append(batch["input_ids"])
+        n += batch["input_ids"].shape[0]
+    cache = {k: np.concatenate(v) for k, v in out.items()}
+    logger.info("cached VAE posteriors for %d samples", n)
+    return cache
+
+
+def cached_latent_loader(cache, batch_size, seed=0, num_epochs=None):
+    """Shuffled epochs over the latent cache; drops the ragged tail batch
+    (static shapes for jit), like make_dataloader."""
+    import numpy as np
+
+    n = next(iter(cache.values())).shape[0]
+    if n < batch_size:
+        raise ValueError(f"cache ({n}) smaller than batch size ({batch_size})")
+    epoch = 0
+    while num_epochs is None or epoch < num_epochs:
+        order = np.random.default_rng(seed + epoch).permutation(n)
+        for start in range(0, n - batch_size + 1, batch_size):
+            idx = order[start : start + batch_size]
+            yield {k: v[idx] for k, v in cache.items()}
+        epoch += 1
 
 
 def main():
@@ -291,17 +359,30 @@ def main():
             args.resume_from_checkpoint,
         )
 
-    loader = make_dataloader(
-        dataset,
-        tokenizer,
-        batch_size=args.train_batch_size * n_dev,
-        resolution=args.resolution,
-        center_crop=args.center_crop,
-        random_flip=args.random_flip,
-        seed=args.seed or 0,
-        num_workers=args.dataloader_num_workers,
-        max_samples=args.max_train_samples,
-    )
+    global_bs = args.train_batch_size * n_dev
+    if args.cache_latents:
+        if args.random_flip or not args.center_crop:
+            raise SystemExit(
+                "--cache_latents requires --center_crop and no "
+                "--random_flip (latents are cached for one deterministic "
+                "preprocess per sample)"
+            )
+        cache = build_latent_cache(
+            dataset, tokenizer, vae, bundle["params"]["vae"], args, global_bs
+        )
+        loader = cached_latent_loader(cache, global_bs, seed=args.seed or 0)
+    else:
+        loader = make_dataloader(
+            dataset,
+            tokenizer,
+            batch_size=global_bs,
+            resolution=args.resolution,
+            center_crop=args.center_crop,
+            random_flip=args.random_flip,
+            seed=args.seed or 0,
+            num_workers=args.dataloader_num_workers,
+            max_samples=args.max_train_samples,
+        )
 
     if args.shard_strategy == "zero1":
         from gmdx.dist import zero1_shard
@@ -339,14 +420,17 @@ def main():
         if global_step >= max_train_steps:
             break
         key, k_step = jax.random.split(key)
-        dev_batch = shard_batch(
-            mesh,
-            {
-                "sdr": batch["pixel_values"],
-                "gm": batch["gainmap_values"],
-                "input_ids": batch["input_ids"],
-            },
-        )
+        if args.cache_latents:
+            dev_batch = shard_batch(mesh, batch)  # latent stats + input_ids
+        else:
+            dev_batch = shard_batch(
+                mesh,
+                {
+                    "sdr": batch["pixel_values"],
+                    "gm": batch["gainmap_values"],
+                    "input_ids": batch["input_ids"],
+                },
+            )
         state, m = train_step(state, frozen_dev, dev_batch, k_step)
         global_step += 1
 

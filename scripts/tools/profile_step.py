@@ -164,8 +164,10 @@ def build_train_step(batch: int, res: int, dtype):
     }
 
     def fn(state, frozen, batch_data, key):
-        _, metrics = step(state, frozen, batch_data, key)
-        return metrics["loss"]
+        # Return the updated state too — returning only the loss lets XLA
+        # dead-code-eliminate the entire backward pass + optimizer update.
+        new_state, metrics = step(state, frozen, batch_data, key)
+        return metrics["loss"], new_state
 
     return fn, (state, frozen, batch_data, jax.random.key(6))
 

@@ -295,3 +295,40 @@ class TestStage1FSDP:
         )
         assert r.returncode == 0, r.stderr[-3000:]
         assert os.path.isdir(os.path.join(out, "finetuned_VAE", "vae"))
+
+
+class TestCacheLatentsCLI:
+    def test_cache_latents_trains(self, workdir):
+        root, meta, _ = workdir
+        out = str(root / "s2out_cache")
+        r = run_script(
+            "scripts/stage2/train_gm_unet.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--train_metadata", meta,
+                "--output_dir", out,
+                "--resolution", "64",
+                "--train_batch_size", "1",
+                "--max_train_steps", "2",
+                "--seed", "0",
+                "--cache_latents", "--center_crop",
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        lines = open(
+            os.path.join(out, "logs", "metrics.jsonl")
+        ).read().strip().splitlines()
+        assert any("train_loss" in l for l in lines)
+
+    def test_cache_latents_requires_deterministic_preprocess(self, workdir):
+        root, meta, _ = workdir
+        r = run_script(
+            "scripts/stage2/train_gm_unet.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--train_metadata", meta,
+                "--cache_latents", "--random_flip", "--center_crop",
+            ],
+        )
+        assert r.returncode != 0
+        assert "cache_latents" in (r.stderr + r.stdout)

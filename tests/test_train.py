@@ -416,3 +416,41 @@ class TestFSDP:
             and not x.sharding.is_fully_replicated
         ]
         assert sharded_leaves, "no param leaf ended up sharded"
+
+
+class TestCachedLatents:
+    def test_cached_latent_step_matches_encode_step(self, stage2_setup):
+        """With exact (mean, std) in the cache and the same PRNG key, the
+        cached-latent path must reproduce the encode path's loss — the only
+        difference is where the posterior stats come from."""
+        unet, vae, text, unet_params, frozen, batch = stage2_setup
+        cfg = Stage2Config(learning_rate=1e-3)
+        opt = make_optimizer(cfg)
+        step = make_train_step(
+            cfg, unet=unet, vae=vae, text_encoder=text,
+            noise_scheduler=DDPMScheduler(), optimizer=opt, donate=False,
+        )
+
+        def stats(images):
+            post = vae.apply(
+                {"params": frozen["vae"]}, images, method=vae.encode
+            )
+            return post.mean, post.std
+
+        sm, ss = stats(batch["sdr"])
+        gm_m, gm_s = stats(batch["gm"])
+        latent_batch = {
+            "sdr_latent_mean": sm,
+            "sdr_latent_std": ss,
+            "gm_latent_mean": gm_m,
+            "gm_latent_std": gm_s,
+            "input_ids": batch["input_ids"],
+        }
+        key = jax.random.key(7)
+        state = init_state(cfg, unet_params, opt)
+        _, m_enc = step(state, frozen, batch, key)
+        state2 = init_state(cfg, unet_params, opt)
+        _, m_cache = step(state2, frozen, latent_batch, key)
+        np.testing.assert_allclose(
+            float(m_cache["loss"]), float(m_enc["loss"]), rtol=1e-5
+        )
