@@ -143,15 +143,17 @@ def make_dataloader(
             tops.append(top)
             lefts.append(left)
             flips.append(flip)
+        # One thread-pool invocation for both columns: crop/flip draws are
+        # shared per pair, and a single 2n-item call avoids a second pool
+        # spawn/join and lets the gm decodes overlap sdr stragglers.
         nt = min(num_workers, os.cpu_count() or 1)
-        pv = gmdx_native.preprocess_batch_native(
-            sdr_blobs, resolution, tops, lefts, flips, n_threads=nt
+        both = gmdx_native.preprocess_batch_native(
+            sdr_blobs + gm_blobs, resolution,
+            tops + tops, lefts + lefts, flips + flips, n_threads=nt,
         )
-        gv = gmdx_native.preprocess_batch_native(
-            gm_blobs, resolution, tops, lefts, flips, n_threads=nt
-        )
-        if pv is None or gv is None:
+        if both is None:
             return None
+        pv, gv = both[: len(idxs)], both[len(idxs):]
         toks = [tokenizer(t) for t in texts]
         return {
             "pixel_values": pv,

@@ -49,6 +49,22 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _env_block(var: str, default: int) -> int:
+    """Block-size cap from the environment, validated at the read site so a
+    bad value fails with the variable's name instead of a Mosaic lowering
+    error mid-training. Values are rounded down to a 128 multiple."""
+    raw = os.environ.get(var)
+    if raw is None:
+        return default
+    try:
+        v = int(raw)
+    except ValueError as e:
+        raise ValueError(f"{var}={raw!r} is not an integer") from e
+    if v < 128:
+        raise ValueError(f"{var}={v} must be >= 128")
+    return v // 128 * 128
+
+
 def _flash_kernel(
     sk_ref,  # SMEM (1,): true (unpadded) key length
     q_ref,  # VMEM (1, blk_q, d) — pre-scaled by sm_scale*log2(e)
@@ -323,10 +339,8 @@ def _flash_backward(
     # 9.5 ms vs 10.1 at 512/512 and 9.7 at 1024/1024 — wider K blocks halve
     # the Q re-reads in the dKV pass. At the VAE's 512-wide head the fp32
     # intermediates alone would be 3x2 MB/block-pair, so halve K there.
-    cap_q = int(os.environ.get("GMDX_FLASH_BWD_BLKQ", "512"))
-    cap_k = int(
-        os.environ.get("GMDX_FLASH_BWD_BLKK", "1024" if d <= 256 else "512")
-    )
+    cap_q = _env_block("GMDX_FLASH_BWD_BLKQ", 512)
+    cap_k = _env_block("GMDX_FLASH_BWD_BLKK", 1024 if d <= 256 else 512)
     blk_q = min(cap_q, _round_up(sq, 128))
     blk_k = min(cap_k, _round_up(sk, 128))
     sq_p = _round_up(sq, blk_q)

@@ -46,6 +46,14 @@ bool is_jpeg(const uint8_t* d, int64_t n) {
   return n >= 3 && d[0] == 0xFF && d[1] == 0xD8 && d[2] == 0xFF;
 }
 
+// 16-bit PNGs are rejected (not converted): libpng's simplified API scales
+// 16->8 while PIL's convert("RGB") from I;16 clips — the results diverge,
+// so those images must take the PIL fallback to keep the batch-parity
+// contract of the native loader.
+bool png_is_16bit(const png_image& img) {
+  return (img.format & PNG_FORMAT_FLAG_LINEAR) != 0;
+}
+
 // PNG via the libpng simplified API. Alpha is decoded and dropped (not
 // composited) — PIL's convert("RGB") semantics for RGBA inputs.
 bool decode_png(const uint8_t* data, int64_t len, ImageU8* out) {
@@ -54,6 +62,10 @@ bool decode_png(const uint8_t* data, int64_t len, ImageU8* out) {
   img.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_memory(&img, data, (size_t)len))
     return false;
+  if (png_is_16bit(img)) {
+    png_image_free(&img);
+    return false;
+  }
   img.format = PNG_FORMAT_RGBA;
   std::vector<uint8_t> rgba((size_t)PNG_IMAGE_SIZE(img));
   if (!png_image_finish_read(&img, nullptr, rgba.data(), 0, nullptr)) {
@@ -278,6 +290,10 @@ int gmdx_image_probe(const uint8_t* data, int64_t len, int* w, int* h) {
     memset(&img, 0, sizeof img);
     img.version = PNG_IMAGE_VERSION;
     if (!png_image_begin_read_from_memory(&img, data, (size_t)len)) return -1;
+    if (png_is_16bit(img)) {  // must take the PIL fallback (see decode_png)
+      png_image_free(&img);
+      return -1;
+    }
     *w = (int)img.width;
     *h = (int)img.height;
     png_image_free(&img);

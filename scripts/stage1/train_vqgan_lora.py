@@ -301,24 +301,35 @@ def main():
         logger.info("resumed from checkpoint step %d", resume_step)
 
     frozen = {"vae": vae_params, "vgg": vgg_params}
+    # Shard each field straight from host — replicating the whole state
+    # first would allocate the very replicated copies these modes avoid.
     if args.shard_strategy == "zero1":
+        from gmdx.dist import replicate as _rep
         from gmdx.dist import zero1_shard
 
         state = dataclasses.replace(
-            replicate(mesh, state),
+            state,
+            trainables=_rep(mesh, state.trainables),
+            disc_params=_rep(mesh, state.disc_params),
+            disc_vars=_rep(mesh, state.disc_vars),
             opt_state=zero1_shard(mesh, state.opt_state),
             disc_opt_state=zero1_shard(mesh, state.disc_opt_state),
+            ema=_rep(mesh, state.ema) if state.ema is not None else None,
+            step=_rep(mesh, state.step),
         )
     elif args.shard_strategy == "fsdp":
         from gmdx.dist import fsdp_shard
+        from gmdx.dist import replicate as _rep
 
         state = dataclasses.replace(
-            replicate(mesh, state),
+            state,
             trainables=fsdp_shard(mesh, state.trainables),
             disc_params=fsdp_shard(mesh, state.disc_params),
+            disc_vars=_rep(mesh, state.disc_vars),
             opt_state=fsdp_shard(mesh, state.opt_state),
             disc_opt_state=fsdp_shard(mesh, state.disc_opt_state),
             ema=fsdp_shard(mesh, state.ema) if state.ema is not None else None,
+            step=_rep(mesh, state.step),
         )
     else:
         state = replicate(mesh, state)

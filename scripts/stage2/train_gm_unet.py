@@ -196,28 +196,37 @@ def build_latent_cache(dataset, tokenizer, vae, vae_params, args, batch_size):
         post = vae.apply({"params": params}, images, method=vae.encode)
         return post.mean, post.std
 
+    # batch_size=1 so the dataloader's ragged-tail drop excludes nothing —
+    # with the training global batch here, the last (global_bs - 1) rows of
+    # the parquet would be permanently missing from training. Encoding still
+    # runs in fixed device chunks (padded tail, padding sliced off).
     loader = make_dataloader(
-        dataset, tokenizer, batch_size=batch_size,
+        dataset, tokenizer, batch_size=1,
         resolution=args.resolution, center_crop=True, random_flip=False,
         shuffle=False, num_epochs=1,
         num_workers=args.dataloader_num_workers,
         max_samples=args.max_train_samples,
     )
-    out = {k: [] for k in (
-        "sdr_latent_mean", "sdr_latent_std",
-        "gm_latent_mean", "gm_latent_std", "input_ids",
-    )}
-    n = 0
-    for batch in loader:
-        for col, prefix in (("pixel_values", "sdr"), ("gainmap_values", "gm")):
-            m, s = stats(vae_params, jnp.asarray(batch[col]))
-            out[f"{prefix}_latent_mean"].append(
-                np.asarray(m, dtype=np.float16)
-            )
-            out[f"{prefix}_latent_std"].append(np.asarray(s, dtype=np.float16))
-        out["input_ids"].append(batch["input_ids"])
-        n += batch["input_ids"].shape[0]
-    cache = {k: np.concatenate(v) for k, v in out.items()}
+    pixels, gains, ids = [], [], []
+    for item in loader:
+        pixels.append(item["pixel_values"][0])
+        gains.append(item["gainmap_values"][0])
+        ids.append(item["input_ids"][0])
+    n = len(ids)
+    cache = {"input_ids": np.stack(ids)}
+    enc_bs = min(16, max(1, batch_size))
+    for images, prefix in ((pixels, "sdr"), (gains, "gm")):
+        means, stds = [], []
+        for start in range(0, n, enc_bs):
+            chunk = np.stack(images[start : start + enc_bs])
+            pad = enc_bs - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
+            m, s = stats(vae_params, jnp.asarray(chunk))
+            means.append(np.asarray(m, dtype=np.float16)[: enc_bs - pad])
+            stds.append(np.asarray(s, dtype=np.float16)[: enc_bs - pad])
+        cache[f"{prefix}_latent_mean"] = np.concatenate(means)
+        cache[f"{prefix}_latent_std"] = np.concatenate(stds)
     logger.info("cached VAE posteriors for %d samples", n)
     return cache
 
@@ -384,21 +393,28 @@ def main():
             max_samples=args.max_train_samples,
         )
 
+    # Shard each field straight from host — replicating the whole state
+    # first would allocate the very replicated copies these modes exist to
+    # avoid (FSDP is for when the state does NOT fit replicated).
     if args.shard_strategy == "zero1":
         from gmdx.dist import zero1_shard
 
         state = dataclasses.replace(
-            replicate(mesh, state),
+            state,
+            params=replicate(mesh, state.params),
             opt_state=zero1_shard(mesh, state.opt_state),
+            ema=replicate(mesh, state.ema) if state.ema is not None else None,
+            step=replicate(mesh, state.step),
         )
     elif args.shard_strategy == "fsdp":
         from gmdx.dist import fsdp_shard
 
         state = dataclasses.replace(
-            replicate(mesh, state),
+            state,
             params=fsdp_shard(mesh, state.params),
             opt_state=fsdp_shard(mesh, state.opt_state),
             ema=fsdp_shard(mesh, state.ema) if state.ema is not None else None,
+            step=replicate(mesh, state.step),
         )
     else:
         state = replicate(mesh, state)

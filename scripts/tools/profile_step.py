@@ -172,11 +172,40 @@ def build_train_step(batch: int, res: int, dtype):
     return fn, (state, frozen, batch_data, jax.random.key(6))
 
 
+def build_unet_grad(batch: int, res: int, dtype):
+    """UNet fwd+bwd only (no optimizer state — fits without donation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gmdx.models import SD15_GM_UNET_CONFIG, UNet2DConditionModel
+
+    unet = UNet2DConditionModel(SD15_GM_UNET_CONFIG, dtype=dtype)
+    h = w = res // 8
+    params = jax.jit(unet.init)(
+        jax.random.key(0), jnp.zeros((1, 8, h, w)), jnp.array(1.0),
+        jnp.zeros((1, 77, 768)),
+    )["params"]
+    x = jax.random.normal(jax.random.key(1), (batch, 8, h, w))
+    ctx = jax.random.normal(jax.random.key(2), (batch, 77, 768))
+    tgt = jax.random.normal(jax.random.key(3), (batch, 4, h, w))
+    t = jnp.array(501, jnp.int32)
+
+    def fn(params, x, t, ctx, tgt):
+        def loss(p):
+            eps = unet.apply({"params": p}, x, t, ctx)
+            return jnp.mean((eps.astype(jnp.float32) - tgt) ** 2)
+
+        return jax.value_and_grad(loss)(params)
+
+    return fn, (params, x, t, ctx, tgt)
+
+
 WORKLOADS = {
     "gm_unet_fwd": build_gm_unet_fwd,
     "dual_step": build_dual_step,
     "vae_decode": build_vae_decode,
     "train_step": build_train_step,
+    "unet_grad": build_unet_grad,
 }
 
 

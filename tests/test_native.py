@@ -208,3 +208,19 @@ class TestNativeImageDecode:
     def test_bad_bytes_fail_batch(self, built):
         out = native.preprocess_batch_native([b"corrupt"], 32)
         assert out is None
+
+    def test_16bit_png_rejected(self, built):
+        """16-bit PNGs diverge between libpng's scaling and PIL's clipping
+        conversion — the native path must refuse them so the PIL fallback
+        keeps batch parity."""
+        import io
+
+        from PIL import Image
+
+        arr16 = (np.arange(16 * 16, dtype=np.uint16).reshape(16, 16) * 257)
+        buf = io.BytesIO()
+        Image.fromarray(arr16, mode="I;16").save(buf, format="PNG")
+        blob = buf.getvalue()
+        assert native.probe_image_native(blob) is None
+        assert native.decode_image_native(blob) is None
+        assert native.preprocess_batch_native([blob], 8) is None

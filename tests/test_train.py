@@ -326,44 +326,6 @@ class TestZeRO1:
         assert n_sharded > len(leaves) // 2  # most tensors actually split
 
 
-class TestFSDPStyleParams:
-    def test_sharded_params_match_replicated(self, stage2_setup):
-        """Params sharded over the data axis (FSDP-style, XLA inserts the
-        gathers) must produce the same loss as replicated params."""
-        from gmdx.dist import zero1_shard
-
-        unet, vae, text, unet_params, frozen, batch = stage2_setup
-        cfg = Stage2Config()
-        opt = make_optimizer(cfg)
-        step = make_train_step(
-            cfg, unet=unet, vae=vae, text_encoder=text,
-            optimizer=opt, donate=False,
-        )
-        big = jax.tree.map(lambda x: jnp.concatenate([x] * 4, axis=0), batch)
-        mesh = make_mesh(8)
-        sb = shard_batch(mesh, big)
-        fr = replicate(mesh, frozen)
-        base = init_state(cfg, unet_params, opt)
-
-        _, m_rep = step(replicate(mesh, base), fr, sb, jax.random.key(0))
-
-        from gmdx.train.stage2 import Stage2State
-
-        sharded = Stage2State(
-            params=zero1_shard(mesh, base.params),
-            opt_state=zero1_shard(mesh, base.opt_state),
-            ema=None,
-            step=jax.device_put(
-                base.step,
-                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
-            ),
-        )
-        _, m_fsdp = step(sharded, fr, sb, jax.random.key(0))
-        np.testing.assert_allclose(
-            float(m_fsdp["loss"]), float(m_rep["loss"]), rtol=1e-4
-        )
-
-
 class TestFSDP:
     def test_fsdp_params_match_replicated(self, stage2_setup):
         """FSDP-sharded params + optimizer state must track the replicated
