@@ -141,13 +141,21 @@ def _flash_forward(
     sk = k.shape[1]
     dtype = q.dtype
 
-    # 1024-wide blocks fit comfortably in the ~16 MB of VMEM for the UNet
-    # head dims (<=160), but at the VAE's single 512-wide head the fp32
-    # logits block + accumulator + double-buffered operands exceed it —
-    # halve the blocks there (s: 4 MB -> 1 MB, acc: 2 MB -> 1 MB).
-    blk_cap = 1024 if d <= 256 else 512
-    blk_q = min(blk_cap, _round_up(sq, 128))
-    blk_k = min(blk_cap, _round_up(sk, 128))
+    # Block sizes from an on-device sweep at the SD hot shape (BH64/S4096/
+    # D40, in-scan, BENCHNOTES.md): 1024q/2048k runs 2.71 ms vs 5.67 at
+    # 1024/1024 — halving the k-grid halves the online-softmax correction
+    # passes and k/v block swaps. The fp32 logits block is 8 MB; with the
+    # UNet head dims (<=160) everything still fits VMEM. At d=256 the k/v
+    # double buffers push past budget (keep 1024k), and at the VAE's single
+    # 512-wide head even 1024-wide blocks OOM (keep 512).
+    if d <= 160:
+        cap_q, cap_k = 1024, 2048
+    elif d <= 256:
+        cap_q, cap_k = 1024, 1024
+    else:
+        cap_q, cap_k = 512, 512
+    blk_q = min(_env_block("GMDX_FLASH_BLKQ", cap_q), _round_up(sq, 128))
+    blk_k = min(_env_block("GMDX_FLASH_BLKK", cap_k), _round_up(sk, 128))
     sq_p = _round_up(sq, blk_q)
     sk_p = _round_up(sk, blk_k)
 

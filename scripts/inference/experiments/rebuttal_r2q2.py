@@ -25,6 +25,13 @@ def main():
     p.add_argument("--seed", type=int, default=1231)
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--qmax", type=float, default=99.0)
+    p.add_argument(
+        "--karras", action="store_true",
+        help="actually sample on a Karras rho=7 sigma grid (DPM-Solver++ "
+        "scheduler). The reference passes use_karras_sigmas=True as a "
+        "pipeline kwarg, which is silently swallowed — default behavior "
+        "keeps that parity; this flag turns the intent on for real.",
+    )
     args = p.parse_args()
 
     import jax
@@ -41,6 +48,12 @@ def main():
         params = dict(params)
         params["vae"] = vae_params
         print(f"swapped in VAE from {args.vae_ckpt}")
+
+    if args.karras:
+        from gmdx.schedulers import DPMSolverMultistepScheduler
+
+        pipe.scheduler = DPMSolverMultistepScheduler(use_karras_sigmas=True)
+        print("Karras sigma grid enabled (DPM-Solver++ 2M)")
 
     for i, prompt in enumerate(BASELINE_PROMPTS):
         sdr, gm = pipe(

@@ -496,3 +496,45 @@ class TestLCM:
         # class name must round-trip to the right type.
         back = load_scheduler(str(tmp_path / "sched"))
         assert isinstance(back, LCMScheduler)
+
+
+class TestDPMKarras:
+    """use_karras_sigmas: the reference passes this kwarg but silently
+    swallows it (rebuttal_r2q2.py:259 via **kwargs); gmdx implements it."""
+
+    def test_karras_grid_properties(self):
+        from gmdx.schedulers import DPMSolverMultistepScheduler
+
+        sched = DPMSolverMultistepScheduler(use_karras_sigmas=True)
+        ts = np.asarray(sched.timesteps(20))
+        assert ts.shape == (20,)
+        # Descending from the noisiest timestep toward 0.
+        assert (np.diff(ts) <= 0).all()
+        assert ts[0] > 900 and ts[-1] < 50
+        # rho=7 spacing concentrates steps at low noise: the tail gaps are
+        # smaller than the head gaps.
+        head_gap = ts[0] - ts[1]
+        tail_gap = ts[-2] - ts[-1]
+        assert tail_gap < head_gap
+
+    def test_karras_trajectory_recovers_x0(self):
+        from gmdx.schedulers import DPMSolverMultistepScheduler
+
+        sched = DPMSolverMultistepScheduler(use_karras_sigmas=True)
+        x0 = jax.random.normal(jax.random.key(0), (1, 4, 8, 8))
+        eps = jax.random.normal(jax.random.key(1), (1, 4, 8, 8))
+        acp = sched.alphas_cumprod
+        state = sched.init_state(15, x0.shape)
+        t0 = state.timestep
+        sample = jnp.sqrt(acp[t0]) * x0 + jnp.sqrt(1 - acp[t0]) * eps
+
+        def perfect_eps(sample, t):
+            # model that always reports the true eps for the current x_t
+            return (sample - jnp.sqrt(acp[t]) * x0) / jnp.sqrt(1 - acp[t])
+
+        for _ in range(15):
+            t = state.timestep
+            state, sample = sched.step(state, perfect_eps(sample, t), sample)
+        np.testing.assert_allclose(
+            np.asarray(sample), np.asarray(x0), rtol=1e-3, atol=1e-3
+        )
