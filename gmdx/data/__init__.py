@@ -6,6 +6,7 @@ prefetcher feeding device-ready numpy batches.
 """
 
 from gmdx.data.parquet import ParquetImageDataset, make_dataloader
+from gmdx.data.prefetch import device_prefetch
 from gmdx.data.transforms import (
     resize_shorter_side,
     paired_crop,
@@ -16,6 +17,7 @@ from gmdx.data.transforms import (
 __all__ = [
     "ParquetImageDataset",
     "make_dataloader",
+    "device_prefetch",
     "resize_shorter_side",
     "paired_crop",
     "to_model_range",

@@ -1,0 +1,59 @@
+"""Device prefetch: overlap host->device transfer with the running step.
+
+The training loops call ``shard_batch`` synchronously per step; on a real
+pod the H2D copy of a 512² global batch sits on the critical path. This
+wrapper device_puts ``depth`` batches ahead on a background thread — jax
+transfers are async, so the copy of batch i+1 overlaps the compute of
+batch i and the step dequeues an already-resident batch.
+
+The reference has no analog (its DataLoader stops at host pinned memory and
+torch moves tensors inside the step); this is the TPU-native equivalent of
+an input pipeline's device-side double buffer.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+from gmdx.dist.mesh import shard_batch
+
+
+def device_prefetch(loader, mesh, depth: int = 2, axis: str = "data") -> Iterator:
+    """Wrap a host-batch iterator; yields device-sharded batches.
+
+    ``depth`` bounds how many batches may be resident ahead of the consumer
+    (device memory = depth x batch bytes). Exceptions from the underlying
+    loader are re-raised at the consumer.
+    """
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in loader:
+                q.put(shard_batch(mesh, batch, axis))
+        except BaseException as e:  # noqa: BLE001 — forwarded to consumer
+            q.put(e)
+        else:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+
+    def gen():
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    return gen()
+
+
+__all__ = ["device_prefetch"]

@@ -258,7 +258,7 @@ def main():
 
     from gmdx.data import ParquetImageDataset, make_dataloader
     from gmdx.dist import initialize as dist_initialize
-    from gmdx.dist import make_mesh, replicate, shard_batch
+    from gmdx.dist import make_mesh, replicate
 
     dist_initialize()  # no-op single-host; joins the pod slice otherwise
     from gmdx.io.pipeline import load_pipeline, save_pipeline
@@ -432,21 +432,26 @@ def main():
     )
     key = jax.random.key(args.seed or 0)
     t_last = time.time()
-    for batch in loader:
-        if global_step >= max_train_steps:
-            break
-        key, k_step = jax.random.split(key)
-        if args.cache_latents:
-            dev_batch = shard_batch(mesh, batch)  # latent stats + input_ids
-        else:
-            dev_batch = shard_batch(
-                mesh,
-                {
+
+    def host_batches():
+        for batch in loader:
+            if args.cache_latents:
+                yield batch  # latent stats + input_ids
+            else:
+                yield {
                     "sdr": batch["pixel_values"],
                     "gm": batch["gainmap_values"],
                     "input_ids": batch["input_ids"],
-                },
-            )
+                }
+
+    from gmdx.data import device_prefetch
+
+    # H2D copies run ahead on a background thread so the step dequeues
+    # device-resident batches (gmdx/data/prefetch.py).
+    for dev_batch in device_prefetch(host_batches(), mesh):
+        if global_step >= max_train_steps:
+            break
+        key, k_step = jax.random.split(key)
         state, m = train_step(state, frozen_dev, dev_batch, k_step)
         global_step += 1
 

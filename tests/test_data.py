@@ -178,3 +178,33 @@ class TestNativeLoaderParity:
             for k in ("pixel_values", "gainmap_values"):
                 assert bn[k].shape == bp[k].shape
                 assert np.abs(bn[k] - bp[k]).max() <= (1.5 / 127.5), k
+
+
+class TestDevicePrefetch:
+    def test_prefetch_yields_sharded_batches(self):
+        import jax
+
+        from gmdx.data import device_prefetch
+        from gmdx.dist import make_mesh
+
+        mesh = make_mesh(8)
+        host = ({"x": np.full((8, 4), i, np.float32)} for i in range(5))
+        out = list(device_prefetch(host, mesh, depth=2))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            assert isinstance(b["x"], jax.Array)
+            assert not b["x"].sharding.is_fully_replicated  # batch-sharded
+            np.testing.assert_array_equal(np.asarray(b["x"]), np.full((8, 4), i))
+
+    def test_prefetch_propagates_errors(self):
+        from gmdx.data import device_prefetch
+        from gmdx.dist import make_mesh
+
+        def bad():
+            yield {"x": np.zeros((8, 2), np.float32)}
+            raise RuntimeError("decode failed")
+
+        it = device_prefetch(bad(), make_mesh(8))
+        next(it)
+        with pytest.raises(RuntimeError, match="decode failed"):
+            next(it)
