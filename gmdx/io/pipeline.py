@@ -125,6 +125,21 @@ def _build_module(cfg: dict):
         from gmdx.models import CLIPVisionConfig, StableDiffusionSafetyChecker
 
         return StableDiffusionSafetyChecker(CLIPVisionConfig(**cfg))
+    if class_name == "ControlNetModel":
+        from gmdx.models import ControlNetModel
+        from gmdx.models.controlnet import ControlNetConfig
+        from gmdx.models.unet2d import UNetConfig
+
+        ucfg = dict(cfg.pop("unet"))
+        for k in ("block_out_channels", "down_block_types", "up_block_types"):
+            if k in ucfg:
+                ucfg[k] = tuple(ucfg[k])
+        cfg["conditioning_embedding_channels"] = tuple(
+            cfg["conditioning_embedding_channels"]
+        )
+        return ControlNetModel(
+            ControlNetConfig(unet=UNetConfig(**ucfg), **cfg)
+        )
     raise ValueError(f"unknown component class {class_name!r}")
 
 

@@ -18,6 +18,12 @@ from gmdx.train.stage2 import (
     stage2_loss,
     make_train_step,
 )
+from gmdx.train.controlnet import (
+    ControlNetState,
+    ControlNetTrainConfig,
+    init_controlnet_state,
+    make_controlnet_train_step,
+)
 from gmdx.train.stage1 import (
     Stage1Config,
     Stage1State,
@@ -54,4 +60,8 @@ __all__ = [
     "reconstruct_and_tonemap",
     "make_gen_step",
     "make_disc_step",
+    "ControlNetTrainConfig",
+    "ControlNetState",
+    "init_controlnet_state",
+    "make_controlnet_train_step",
 ]

@@ -332,3 +332,34 @@ class TestCacheLatentsCLI:
         )
         assert r.returncode != 0
         assert "cache_latents" in (r.stderr + r.stdout)
+
+
+class TestControlNetCLI:
+    def test_train_and_save(self, workdir):
+        """ControlNet trainer end-to-end on the tiny pipeline: trains,
+        checkpoints, saves a loadable controlnet component."""
+        root, meta, _ = workdir
+        out = str(root / "cn_out")
+        r = run_script(
+            "scripts/controlnet/train_controlnet.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--train_metadata", meta,
+                "--output_dir", out,
+                "--resolution", "64",
+                "--train_batch_size", "1",
+                "--max_train_steps", "2",
+                "--checkpointing_steps", "2",
+                "--seed", "0",
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert os.path.isdir(os.path.join(out, "checkpoint_2"))
+        from gmdx.io.pipeline import load_component
+
+        cnet, params = load_component(os.path.join(out, "controlnet"))
+        assert type(cnet).__name__ == "ControlNetModel"
+        lines = open(
+            os.path.join(out, "logs", "metrics.jsonl")
+        ).read().strip().splitlines()
+        assert any("train_loss" in l for l in lines)
