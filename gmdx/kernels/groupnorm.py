@@ -127,26 +127,190 @@ def _gn_silu_reference(x, scale, bias, num_groups, eps, activate):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _gn_silu_pallas(x, scale, bias, num_groups, eps, activate, interpret):
-    return _gn_forward(x, scale, bias, num_groups, eps, activate, interpret)
+    out, _stats = _gn_forward(
+        x, scale, bias, num_groups, eps, activate, interpret
+    )
+    return out
 
 
 def _gn_fwd(x, scale, bias, num_groups, eps, activate, interpret):
-    out = _gn_silu_pallas(x, scale, bias, num_groups, eps, activate, interpret)
-    return out, (x, scale, bias)
-
-
-def _gn_bwd(num_groups, eps, activate, _interpret, res, g):
-    # Backward = recompute with differentiable jnp ops (same trade as the
-    # flash kernel: one Pallas kernel to maintain, XLA handles the VJP).
-    x, scale, bias = res
-    _, vjp = jax.vjp(
-        lambda x_, s_, b_: _gn_silu_reference(x_, s_, b_, num_groups, eps, activate),
-        x, scale, bias,
+    out, stats = _gn_forward(
+        x, scale, bias, num_groups, eps, activate, interpret
     )
-    return vjp(g)
+    return out, (x, scale, bias, stats)
+
+
+def _gn_bwd(num_groups, eps, activate, interpret, res, g):
+    x, scale, bias, stats = res
+    import os
+
+    if os.environ.get("GMDX_FUSED_GN_BWD", "1") == "0":
+        # XLA recompute fallback: differentiate the jnp mirror.
+        _, vjp = jax.vjp(
+            lambda x_, s_, b_: _gn_silu_reference(
+                x_, s_, b_, num_groups, eps, activate
+            ),
+            x, scale, bias,
+        )
+        return vjp(g)
+    return _gn_backward(
+        x, scale, bias, stats, g, num_groups, eps, activate, interpret
+    )
 
 
 _gn_silu_pallas.defvjp(_gn_fwd, _gn_bwd)
+
+
+def _gn_bwd_compute_dy(x, g, stats_ref, scale_ref, bias_ref, num_groups,
+                       n_elems, eps, activate):
+    """Shared bwd prologue: recompute xhat and dL/dy from the saved stats.
+
+    Returns (xhat, dY, rstd_c) — all (blk_hw, C) fp32.
+    """
+    c = x.shape[1]
+    s = stats_ref[0]  # (2, G) fp32 group (sum, sumsq)
+    mean = s[0:1] / n_elems
+    var = s[1:2] / n_elems - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    onehot_t = _group_onehot(c, mean.shape[-1]).T  # (G, C)
+    mean_c = jnp.dot(mean, onehot_t, preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(rstd, onehot_t, preferred_element_type=jnp.float32)
+    xhat = (x - mean_c) * rstd_c
+    if activate:
+        y = xhat * scale_ref[0].astype(jnp.float32)[None, :] + (
+            bias_ref[0].astype(jnp.float32)[None, :]
+        )
+        sig = jax.nn.sigmoid(y)
+        dy = g * sig * (1.0 + y * (1.0 - sig))  # d silu(y) / dy
+    else:
+        dy = g
+    return xhat, dy, rstd_c
+
+
+def _gn_bwd_reduce_kernel(
+    x_ref, g_ref, stats_ref, scale_ref, bias_ref,
+    tg_ref,  # out (1, 2, G): per-group sums of dxhat, dxhat*xhat
+    tc_ref,  # out (1, 2, C): per-batch dbeta / dgamma partials
+    accg_scr, accc_scr,
+    *, num_groups: int, n_elems: int, eps: float, activate: bool,
+):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        accg_scr[:] = jnp.zeros_like(accg_scr)
+        accc_scr[:] = jnp.zeros_like(accc_scr)
+
+    x = x_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    xhat, dy, _rstd_c = _gn_bwd_compute_dy(
+        x, g, stats_ref, scale_ref, bias_ref, num_groups, n_elems, eps,
+        activate,
+    )
+    accc_scr[0:1, :] += jnp.sum(dy, axis=0, keepdims=True)  # dbeta
+    accc_scr[1:2, :] += jnp.sum(dy * xhat, axis=0, keepdims=True)  # dgamma
+    dxhat = dy * scale_ref[0].astype(jnp.float32)[None, :]
+    onehot = _group_onehot(x.shape[1], num_groups)
+    accg_scr[0:1, :] += jnp.dot(
+        jnp.sum(dxhat, axis=0, keepdims=True), onehot,
+        preferred_element_type=jnp.float32,
+    )
+    accg_scr[1:2, :] += jnp.dot(
+        jnp.sum(dxhat * xhat, axis=0, keepdims=True), onehot,
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _finish():
+        tg_ref[0] = accg_scr[:]
+        tc_ref[0] = accc_scr[:]
+
+
+def _gn_bwd_apply_kernel(
+    x_ref, g_ref, stats_ref, scale_ref, bias_ref, tg_ref, dx_ref,
+    *, num_groups: int, n_elems: int, eps: float, activate: bool,
+):
+    x = x_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    xhat, dy, rstd_c = _gn_bwd_compute_dy(
+        x, g, stats_ref, scale_ref, bias_ref, num_groups, n_elems, eps,
+        activate,
+    )
+    dxhat = dy * scale_ref[0].astype(jnp.float32)[None, :]
+    t = tg_ref[0]  # (2, G)
+    onehot_t = _group_onehot(x.shape[1], num_groups).T
+    m1 = jnp.dot(t[0:1] / n_elems, onehot_t,
+                 preferred_element_type=jnp.float32)  # mean(dxhat) per ch
+    m2 = jnp.dot(t[1:2] / n_elems, onehot_t,
+                 preferred_element_type=jnp.float32)  # mean(dxhat*xhat)
+    dx = rstd_c * (dxhat - m1 - xhat * m2)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _gn_backward(x, scale, bias, stats, g, num_groups, eps, activate,
+                 interpret):
+    """Two-pass Pallas backward sharing the forward's saved group stats."""
+    b, h, w, c = x.shape
+    hw = h * w
+    gsize = c // num_groups
+    n_elems = hw * gsize
+    blk_hw = _pick_blk_hw(hw, c, x.dtype.itemsize)
+    n_blk = hw // blk_hw
+    xf = x.reshape(b, hw, c)
+    gf = g.reshape(b, hw, c)
+    scale2 = scale.reshape(1, c)
+    bias2 = bias.reshape(1, c)
+
+    x_spec = pl.BlockSpec((1, blk_hw, c), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    stats_spec = pl.BlockSpec((1, 2, num_groups), lambda i, j: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    ch_spec = pl.BlockSpec((1, c), lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    common = dict(num_groups=num_groups, n_elems=n_elems, eps=eps,
+                  activate=activate)
+
+    tg, tc = pl.pallas_call(
+        functools.partial(_gn_bwd_reduce_kernel, **common),
+        grid=(b, n_blk),
+        in_specs=[x_spec, x_spec, stats_spec, ch_spec, ch_spec],
+        out_specs=[
+            pl.BlockSpec((1, 2, num_groups), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 2, num_groups), jnp.float32),
+            jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, num_groups), jnp.float32),
+            pltpu.VMEM((2, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xf, gf, stats, scale2, bias2)
+
+    dx = pl.pallas_call(
+        functools.partial(_gn_bwd_apply_kernel, **common),
+        grid=(b, n_blk),
+        in_specs=[x_spec, x_spec, stats_spec, ch_spec, ch_spec,
+                  pl.BlockSpec((1, 2, num_groups), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xf, gf, stats, scale2, bias2, tg)
+
+    dscale = jnp.sum(tc[:, 1, :], axis=0).astype(scale.dtype)
+    dbias = jnp.sum(tc[:, 0, :], axis=0).astype(bias.dtype)
+    return dx.reshape(b, h, w, c), dscale, dbias
 
 
 def fused_group_norm_silu(
@@ -224,7 +388,7 @@ def _gn_forward(x, scale, bias, num_groups, eps, activate, interpret):
         ),
         interpret=interpret,
     )(xf, stats, scale.reshape(1, c), bias.reshape(1, c))
-    return out.reshape(b, h, w, c)
+    return out.reshape(b, h, w, c), stats
 
 
 __all__ = ["fused_group_norm_silu"]

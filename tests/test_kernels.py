@@ -191,3 +191,60 @@ class TestGroupNormVJP:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(e), rtol=1e-4, atol=1e-5
             )
+
+
+class TestGroupNormPallasBackward:
+    """The Pallas GN backward (reduce + apply kernels) vs jnp autodiff."""
+
+    @pytest.mark.parametrize(
+        "shape,activate",
+        [
+            ((2, 8, 8, 128), True),
+            ((2, 8, 8, 320), True),  # non-lane-aligned channels
+            ((1, 16, 16, 256), False),  # plain GN, no SiLU
+            ((1, 4, 10, 1280), True),  # hw not a power of two
+        ],
+    )
+    def test_grads_match_jnp(self, shape, activate):
+        from gmdx.kernels.groupnorm import _gn_silu_reference
+
+        x = jax.random.normal(jax.random.key(0), shape) * 2 + 0.5
+        s = jax.random.normal(jax.random.key(1), (shape[-1],)) * 0.2 + 1.0
+        b = jax.random.normal(jax.random.key(2), (shape[-1],)) * 0.2
+        g = jax.random.normal(jax.random.key(3), shape)
+
+        def out_pallas(x, s, b):
+            return fused_group_norm_silu(
+                x, s, b, num_groups=32, activate=activate, interpret=True
+            )
+
+        def out_ref(x, s, b):
+            return _gn_silu_reference(x, s, b, 32, 1e-5, activate)
+
+        _, vjp_p = jax.vjp(out_pallas, x, s, b)
+        _, vjp_r = jax.vjp(out_ref, x, s, b)
+        for got, want, name in zip(vjp_p(g), vjp_r(g), ("dx", "dscale", "dbias")):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
+                err_msg=name,
+            )
+
+    def test_xla_fallback_env(self, monkeypatch):
+        from gmdx.kernels.groupnorm import _gn_silu_reference
+
+        monkeypatch.setenv("GMDX_FUSED_GN_BWD", "0")
+        x = jax.random.normal(jax.random.key(0), (1, 8, 8, 128))
+        s, b = jnp.ones(128), jnp.zeros(128)
+        g = jax.random.normal(jax.random.key(1), (1, 8, 8, 128))
+        _, vjp = jax.vjp(
+            lambda x: fused_group_norm_silu(
+                x, s, b, num_groups=32, interpret=True
+            ), x,
+        )
+        _, vjp_r = jax.vjp(
+            lambda x: _gn_silu_reference(x, s, b, 32, 1e-5, True), x
+        )
+        np.testing.assert_allclose(
+            np.asarray(vjp(g)[0]), np.asarray(vjp_r(g)[0]),
+            rtol=1e-4, atol=1e-4,
+        )
