@@ -144,11 +144,14 @@ def _flash_forward(
     # Block sizes from an on-device sweep at the SD hot shape (BH64/S4096/
     # D40, in-scan, BENCHNOTES.md): 1024q/2048k runs 2.71 ms vs 5.67 at
     # 1024/1024 — halving the k-grid halves the online-softmax correction
-    # passes and k/v block swaps. The fp32 logits block is 8 MB; with the
-    # UNet head dims (<=160) everything still fits VMEM. At d=256 the k/v
-    # double buffers push past budget (keep 1024k), and at the VAE's single
-    # 512-wide head even 1024-wide blocks OOM (keep 512).
-    if d <= 160:
+    # passes and k/v block swaps. The fp32 logits block is 8 MB; with bf16
+    # operands and the UNet head dims (<=160) everything still fits VMEM,
+    # but fp32 operands push the scoped allocation to 17.3 MB (> the 16 MB
+    # limit — caught by the driver's fp32 entry() compile check), so wide-K
+    # is bf16/fp16-only. At d=256 the k/v double buffers push past budget
+    # (keep 1024k), and at the VAE's single 512-wide head even 1024-wide
+    # blocks OOM (keep 512).
+    if d <= 160 and q.dtype.itemsize <= 2:
         cap_q, cap_k = 1024, 2048
     elif d <= 256:
         cap_q, cap_k = 1024, 1024
