@@ -5,6 +5,7 @@ from gmdx.utils.profiling import (
     StepTimer,
     annotate,
     device_memory_stats,
+    enable_compilation_cache,
     trace,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "StepTimer",
     "annotate",
     "device_memory_stats",
+    "enable_compilation_cache",
     "trace",
 ]

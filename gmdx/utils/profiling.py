@@ -130,3 +130,24 @@ __all__ = [
     "device_memory_stats",
     "trace",
 ]
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
+    """Turn on jax's persistent compilation cache.
+
+    Large gmdx graphs compile slowly (a 1024² 50-step pipeline takes tens of
+    minutes cold — BENCHNOTES.md); the persistent cache makes that a
+    one-time cost per (program, topology). ``path`` defaults to the
+    ``GMDX_COMPILE_CACHE`` env var; returns the directory in use, or None if
+    neither is set (no-op). Every gmdx CLI calls this at startup.
+    """
+    import os
+
+    import jax
+
+    path = path or os.environ.get("GMDX_COMPILE_CACHE")
+    if not path:
+        return None
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    return path

@@ -79,6 +79,10 @@ def main():
     from gmdx.dist import make_mesh, replicate
 
     dist_initialize()
+    from gmdx.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # GMDX_COMPILE_CACHE opt-in
+
     from gmdx.io.pipeline import load_component, load_pipeline, save_component
     from gmdx.models import (
         SD15_CONTROLNET_CONFIG,

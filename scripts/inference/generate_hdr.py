@@ -57,6 +57,9 @@ def main():
     args = parse_args()
 
     import jax
+    from gmdx.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # GMDX_COMPILE_CACHE opt-in
     import jax.numpy as jnp
     import numpy as np
 

@@ -195,6 +195,9 @@ def main():
     from gmdx.dist import make_mesh, replicate, shard_batch
 
     dist_initialize()  # no-op single-host; joins the pod slice otherwise
+    from gmdx.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # GMDX_COMPILE_CACHE opt-in
     from gmdx.io.pipeline import load_pipeline, save_component, save_pipeline
     from gmdx.models import Discriminator, LoRAConfig, VGG19Features
     from gmdx.ops import random_exposure_adjust

@@ -261,6 +261,10 @@ def main():
     from gmdx.dist import make_mesh, replicate
 
     dist_initialize()  # no-op single-host; joins the pod slice otherwise
+    from gmdx.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # GMDX_COMPILE_CACHE opt-in
+
     from gmdx.io.pipeline import load_pipeline, save_pipeline
     from gmdx.models import inflate_conv_in
     from gmdx.pipelines import StableDiffusionGMPipeline
