@@ -31,27 +31,50 @@ def device_prefetch(loader, mesh, depth: int = 2, axis: str = "data") -> Iterato
         raise ValueError(f"depth must be >= 1, got {depth}")
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        """Blocking put that aborts when the consumer is gone — trainers
+        always exit their loop via break (the loader cycles forever), and
+        without this the producer would sit in q.put holding depth extra
+        device batches in HBM for the rest of the process."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in loader:
-                q.put(shard_batch(mesh, batch, axis))
+                if not put(shard_batch(mesh, batch, axis)):
+                    return
         except BaseException as e:  # noqa: BLE001 — forwarded to consumer
-            q.put(e)
+            put(e)
         else:
-            q.put(_END)
+            put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
 
     def gen():
-        while True:
-            item = q.get()
-            if item is _END:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()  # unblock + terminate the producer on early exit
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
     return gen()
 

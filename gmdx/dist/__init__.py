@@ -12,6 +12,7 @@ from gmdx.dist.mesh import (
     make_mesh,
     zero1_shard,
     fsdp_shard,
+    apply_shard_strategy,
     data_sharding,
     replicated_sharding,
     shard_batch,
@@ -28,6 +29,7 @@ __all__ = [
     "make_mesh",
     "zero1_shard",
     "fsdp_shard",
+    "apply_shard_strategy",
     "data_sharding",
     "replicated_sharding",
     "shard_batch",

@@ -119,10 +119,49 @@ def fsdp_shard(mesh: Mesh, tree, axis: str = "data"):
     return _shard_largest_axis(mesh, tree, axis)
 
 
+def apply_shard_strategy(
+    mesh: Mesh,
+    state,
+    strategy: str,
+    *,
+    param_fields: Sequence[str],
+    opt_fields: Sequence[str],
+    axis: str = "data",
+):
+    """Place a train-state dataclass on the mesh per ``--shard_strategy``.
+
+    ddp: everything replicated. zero1: ``opt_fields`` split over the data
+    axis. fsdp: ``param_fields`` AND ``opt_fields`` split. Remaining fields
+    (and None-valued ones) are replicated. Each field is placed straight
+    from host — replicating the whole state first would allocate exactly
+    the copies zero1/fsdp exist to avoid.
+    """
+    import dataclasses as _dc
+
+    if strategy == "ddp":
+        return replicate(mesh, state)
+    if strategy not in ("zero1", "fsdp"):
+        raise ValueError(f"unknown shard strategy {strategy!r}")
+    sharded = set(opt_fields)
+    if strategy == "fsdp":
+        sharded |= set(param_fields)
+    updates = {}
+    for f in _dc.fields(state):
+        v = getattr(state, f.name)
+        if v is None:
+            continue
+        if f.name in sharded:
+            updates[f.name] = _shard_largest_axis(mesh, v, axis)
+        else:
+            updates[f.name] = replicate(mesh, v)
+    return _dc.replace(state, **updates)
+
+
 __all__ = [
     "make_mesh",
     "zero1_shard",
     "fsdp_shard",
+    "apply_shard_strategy",
     "data_sharding",
     "replicated_sharding",
     "shard_batch",

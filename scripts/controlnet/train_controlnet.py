@@ -166,8 +166,8 @@ def main():
         max_grad_norm=args.max_grad_norm,
         use_8bit_adam=args.use_8bit_adam,
         use_ema=args.use_ema,
-        weight_dtype=(
-            jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
+        weight_dtype={"bf16": jnp.bfloat16, "fp16": jnp.float16}.get(
+            args.mixed_precision, jnp.float32
         ),
     )
     optimizer = make_optimizer(cfg)
@@ -193,8 +193,12 @@ def main():
         logger.info("resumed from checkpoint step %d", resume_step)
 
     dataset = ParquetImageDataset(args.train_metadata)
+    n_samples = (
+        len(dataset) if args.max_train_samples is None
+        else min(args.max_train_samples, len(dataset))
+    )
     steps_per_epoch = max(
-        1, len(dataset) // (args.train_batch_size * max(1, n_dev))
+        1, n_samples // (args.train_batch_size * max(1, n_dev))
     )
     max_train_steps = args.max_train_steps or (
         args.num_train_epochs * steps_per_epoch
@@ -210,28 +214,12 @@ def main():
         max_samples=args.max_train_samples,
     )
 
-    if args.shard_strategy == "zero1":
-        from gmdx.dist import zero1_shard
+    from gmdx.dist import apply_shard_strategy
 
-        state = dataclasses.replace(
-            state,
-            params=replicate(mesh, state.params),
-            opt_state=zero1_shard(mesh, state.opt_state),
-            ema=replicate(mesh, state.ema) if state.ema is not None else None,
-            step=replicate(mesh, state.step),
-        )
-    elif args.shard_strategy == "fsdp":
-        from gmdx.dist import fsdp_shard
-
-        state = dataclasses.replace(
-            state,
-            params=fsdp_shard(mesh, state.params),
-            opt_state=fsdp_shard(mesh, state.opt_state),
-            ema=fsdp_shard(mesh, state.ema) if state.ema is not None else None,
-            step=replicate(mesh, state.step),
-        )
-    else:
-        state = replicate(mesh, state)
+    state = apply_shard_strategy(
+        mesh, state, args.shard_strategy,
+        param_fields=("params", "ema"), opt_fields=("opt_state",),
+    )
     frozen_dev = replicate(mesh, frozen)
     metrics_log = MetricsLogger(
         os.path.join(args.output_dir, args.logging_dir),
@@ -281,6 +269,7 @@ def main():
             save_state(manager, global_step, jax.device_get(state))
             logger.info("checkpoint at step %d", global_step)
 
+    metrics_log.close()
     manager.wait_until_finished()
     final = jax.device_get(
         state.ema.shadow if state.ema is not None else state.params

@@ -57,21 +57,9 @@ def main():
     mods, params = bundle["modules"], dict(bundle["params"])
 
     if args.controlnet_ckpt:
-        from gmdx.io.params import load_params
-        import json
+        from gmdx.io.pipeline import load_component
 
-        cfg = json.load(open(os.path.join(args.controlnet_ckpt, "config.json")))
-        cfg.pop("_class_name", None)
-        from gmdx.models import UNetConfig
-
-        cfg["unet"] = UNetConfig(**{
-            k: tuple(v) if isinstance(v, list) else v
-            for k, v in cfg["unet"].items()
-        })
-        cnet = ControlNetModel(ControlNetConfig(**cfg))
-        params["controlnet"] = load_params(
-            os.path.join(args.controlnet_ckpt, "params.safetensors")
-        )
+        cnet, params["controlnet"] = load_component(args.controlnet_ckpt)
     else:
         cnet = ControlNetModel(ControlNetConfig(unet=mods["unet"].config))
         init = cnet.init(

@@ -221,8 +221,16 @@ def main():
     vae_params = bundle["params"]["vae"]
     tokenizer = bundle["tokenizer"]
 
-    discriminator = Discriminator()
-    vgg = VGG19Features()
+    # Mixed precision = module compute dtype (params stay fp32; the
+    # bf16-compute stage-1 pair measured 903 ms vs the fp32 default —
+    # BENCHNOTES.md). fp16 is accepted for CLI parity with the reference.
+    compute_dtype = {"bf16": jnp.bfloat16, "fp16": jnp.float16}.get(
+        args.mixed_precision, jnp.float32
+    )
+    if compute_dtype != jnp.float32:
+        vae = type(vae)(vae.config, dtype=compute_dtype)
+    discriminator = Discriminator(dtype=compute_dtype)
+    vgg = VGG19Features(dtype=compute_dtype)
     res = args.resolution
     disc_vars = discriminator.init(
         jax.random.key(1), jnp.zeros((1, 3, res, res))
@@ -246,7 +254,11 @@ def main():
     tmo_fn = choose_tmo(args.bright_tmo, use_2446a=args.tmo_2446a)
 
     dataset = ParquetImageDataset(args.train_metadata)
-    steps_per_epoch = max(1, len(dataset) // (args.train_batch_size * n_dev))
+    n_samples = (
+        len(dataset) if args.max_train_samples is None
+        else min(args.max_train_samples, len(dataset))
+    )
+    steps_per_epoch = max(1, n_samples // (args.train_batch_size * n_dev))
     max_train_steps = args.max_train_steps or (
         args.num_train_epochs * steps_per_epoch
     )
@@ -304,38 +316,13 @@ def main():
         logger.info("resumed from checkpoint step %d", resume_step)
 
     frozen = {"vae": vae_params, "vgg": vgg_params}
-    # Shard each field straight from host — replicating the whole state
-    # first would allocate the very replicated copies these modes avoid.
-    if args.shard_strategy == "zero1":
-        from gmdx.dist import replicate as _rep
-        from gmdx.dist import zero1_shard
+    from gmdx.dist import apply_shard_strategy
 
-        state = dataclasses.replace(
-            state,
-            trainables=_rep(mesh, state.trainables),
-            disc_params=_rep(mesh, state.disc_params),
-            disc_vars=_rep(mesh, state.disc_vars),
-            opt_state=zero1_shard(mesh, state.opt_state),
-            disc_opt_state=zero1_shard(mesh, state.disc_opt_state),
-            ema=_rep(mesh, state.ema) if state.ema is not None else None,
-            step=_rep(mesh, state.step),
-        )
-    elif args.shard_strategy == "fsdp":
-        from gmdx.dist import fsdp_shard
-        from gmdx.dist import replicate as _rep
-
-        state = dataclasses.replace(
-            state,
-            trainables=fsdp_shard(mesh, state.trainables),
-            disc_params=fsdp_shard(mesh, state.disc_params),
-            disc_vars=_rep(mesh, state.disc_vars),
-            opt_state=fsdp_shard(mesh, state.opt_state),
-            disc_opt_state=fsdp_shard(mesh, state.disc_opt_state),
-            ema=fsdp_shard(mesh, state.ema) if state.ema is not None else None,
-            step=_rep(mesh, state.step),
-        )
-    else:
-        state = replicate(mesh, state)
+    state = apply_shard_strategy(
+        mesh, state, args.shard_strategy,
+        param_fields=("trainables", "disc_params", "ema"),
+        opt_fields=("opt_state", "disc_opt_state"),
+    )
     frozen_dev = replicate(mesh, frozen)
 
     loader = make_dataloader(

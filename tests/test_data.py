@@ -208,3 +208,29 @@ class TestDevicePrefetch:
         next(it)
         with pytest.raises(RuntimeError, match="decode failed"):
             next(it)
+
+    def test_early_break_stops_producer(self):
+        """Breaking out of the consumer loop must terminate the producer
+        (trainers always exit via break — an infinite loader otherwise
+        leaves a thread parked in q.put holding device batches)."""
+        import itertools
+        import time
+
+        from gmdx.data import device_prefetch
+        from gmdx.dist import make_mesh
+
+        pulled = [0]
+
+        def infinite():
+            for i in itertools.count():
+                pulled[0] = i
+                yield {"x": np.zeros((8, 2), np.float32)}
+
+        it = device_prefetch(infinite(), make_mesh(8), depth=2)
+        for _ in range(3):
+            next(it)
+        it.close()  # what `break` does to a generator
+        time.sleep(0.3)
+        seen = pulled[0]
+        time.sleep(0.4)
+        assert pulled[0] == seen  # producer stopped consuming the source
