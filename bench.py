@@ -24,6 +24,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from gmdx.utils import enable_compilation_cache
+
+enable_compilation_cache()  # default-on persistent cache; warm runs skip compile
+
 A100_BASELINE_IMG_PER_S = 0.33
 
 BATCH = int(os.environ.get("GMDX_BENCH_BATCH", "8"))

@@ -137,17 +137,33 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
 
     Large gmdx graphs compile slowly (a 1024² 50-step pipeline takes tens of
     minutes cold — BENCHNOTES.md); the persistent cache makes that a
-    one-time cost per (program, topology). ``path`` defaults to the
-    ``GMDX_COMPILE_CACHE`` env var; returns the directory in use, or None if
-    neither is set (no-op). Every gmdx CLI calls this at startup.
+    one-time cost per (program, topology). Default-ON: ``path`` falls back to
+    the ``GMDX_COMPILE_CACHE`` env var, then to ``.cache/xla_compile`` under
+    the repo root (next to the ``gmdx`` package). Set
+    ``GMDX_COMPILE_CACHE=0`` (or ``off`` / an empty string) to disable. Returns the directory in use, or None when
+    disabled or the directory can't be created. Every gmdx CLI (and bench.py)
+    calls this at startup.
     """
     import os
 
     import jax
 
-    path = path or os.environ.get("GMDX_COMPILE_CACHE")
-    if not path:
+    env = os.environ.get("GMDX_COMPILE_CACHE")
+    if path is None:
+        if env is not None and env.strip().lower() in ("", "0", "off", "false", "no"):
+            return None
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        path = env or os.path.join(repo_root, ".cache", "xla_compile")
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
         return None
-    os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
+    # Cache even fast-compiling programs: the bench's many scan lengths are
+    # individually cheap but collectively dominate warmup (441 s cold,
+    # BENCH_r01.json).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return path

@@ -81,7 +81,7 @@ def main():
     dist_initialize()
     from gmdx.utils import enable_compilation_cache
 
-    enable_compilation_cache()  # GMDX_COMPILE_CACHE opt-in
+    enable_compilation_cache()  # default-on persistent compile cache
 
     from gmdx.io.pipeline import load_component, load_pipeline, save_component
     from gmdx.models import (

@@ -59,7 +59,7 @@ def main():
     import jax
     from gmdx.utils import enable_compilation_cache
 
-    enable_compilation_cache()  # GMDX_COMPILE_CACHE opt-in
+    enable_compilation_cache()  # default-on persistent compile cache
     import jax.numpy as jnp
     import numpy as np
 

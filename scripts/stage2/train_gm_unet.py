@@ -263,7 +263,7 @@ def main():
     dist_initialize()  # no-op single-host; joins the pod slice otherwise
     from gmdx.utils import enable_compilation_cache
 
-    enable_compilation_cache()  # GMDX_COMPILE_CACHE opt-in
+    enable_compilation_cache()  # default-on persistent compile cache
 
     from gmdx.io.pipeline import load_pipeline, save_pipeline
     from gmdx.models import inflate_conv_in

@@ -26,6 +26,9 @@ from gmdx.pipelines import (
 )
 from gmdx.schedulers import PNDMScheduler
 
+pytestmark = pytest.mark.slow  # excluded from the quick tier (pytest.ini)
+
+
 LAT = (1, 4, 4, 4)
 IMG = (1, 3, 32, 32)  # embedder downsamples 8x: 32 -> 4 (the latent grid)
 

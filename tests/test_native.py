@@ -9,6 +9,9 @@ import pytest
 from gmdx import native
 from gmdx.io import rgbe
 
+pytestmark = pytest.mark.slow  # excluded from the quick tier (pytest.ini)
+
+
 
 @pytest.fixture(scope="module")
 def built():

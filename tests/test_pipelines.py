@@ -30,6 +30,9 @@ from gmdx.pipelines import (
 from gmdx.schedulers import PNDMScheduler
 from tests.test_schedulers import numpy_plms_mirror
 
+pytestmark = pytest.mark.slow  # excluded from the quick tier (pytest.ini)
+
+
 LAT = (1, 4, 4, 4)
 
 

@@ -8,6 +8,8 @@ pure round trip would let cancel.
 
 import dataclasses
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +30,8 @@ from gmdx.models import (
     TINY_VAE_CONFIG,
     UNet2DConditionModel,
 )
+
+pytestmark = pytest.mark.slow  # excluded from the quick tier (pytest.ini)
 
 
 def assert_trees_equal(a, b):

@@ -44,6 +44,9 @@ from gmdx.train import (
 )
 from gmdx.train.ema import ema_decay_for_step
 
+pytestmark = pytest.mark.slow  # excluded from the quick tier (pytest.ini)
+
+
 
 class TestEMA:
     def test_decay_ramp(self):
