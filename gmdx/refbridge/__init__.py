@@ -45,6 +45,21 @@ def reference_available() -> bool:
     return os.path.isdir(os.path.join(REFERENCE_ROOT, "gm_diffusion"))
 
 
+def force_cpu_jax() -> None:
+    """Pin JAX to the CPU backend for parity runs.
+
+    The launch environment's sitecustomize registers a TPU backend before
+    user code runs, so the JAX_PLATFORMS env var alone is not enough (same
+    workaround as tests/conftest.py). Parity math is fp32 CPU on both sides
+    by design — the TPU tunnel would add bf16 matmuls and ~100 ms dispatch
+    latency per eager op.
+    """
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def load_reference_pipeline(class_name: str):
     """Import a reference pipeline class from /root/reference under the shim.
 

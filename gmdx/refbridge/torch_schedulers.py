@@ -111,7 +111,10 @@ class DDPMScheduler(_Base):
         self.timesteps = self._leading_timesteps(num_inference_steps)
 
     def step(self, model_output, timestep, sample, generator=None,
-             return_dict=True, **kwargs):
+             variance_noise=None, return_dict=True, **kwargs):
+        """``variance_noise`` is a parity-harness extension (not in
+        diffusers' DDPM API): inject the ancestral noise tensor so the same
+        draw can be fed to the JAX side."""
         t = int(timestep)
         step_ratio = self.config.num_train_timesteps // self.num_inference_steps
         prev_t = t - step_ratio
@@ -136,9 +139,11 @@ class DDPMScheduler(_Base):
         if t > 0:
             variance = beta_prod_prev / beta_prod_t * current_beta
             variance = torch.clamp(variance, min=1e-20)
-            noise = torch.randn(
-                sample.shape, generator=generator, dtype=sample.dtype
-            )
+            noise = variance_noise
+            if noise is None:
+                noise = torch.randn(
+                    sample.shape, generator=generator, dtype=sample.dtype
+                )
             prev = prev + variance ** 0.5 * noise
 
         if not return_dict:

@@ -67,6 +67,7 @@ class DDIMScheduler:
         *,
         eta: float = 0.0,
         key: Array | None = None,
+        noise: Array | None = None,
     ) -> tuple[DDIMState, Array]:
         t = state.timestep
         prev_t = t - state.step_ratio
@@ -100,13 +101,14 @@ class DDIMScheduler:
         dir_xt = jnp.sqrt(1.0 - alpha_prod_prev - std**2) * eps
         prev_sample = jnp.sqrt(alpha_prod_prev) * x0 + dir_xt
         if eta > 0.0:
-            if key is None:
-                raise ValueError(
-                    "DDIMScheduler.step with eta > 0 needs a per-step PRNG "
-                    "key (a fixed default would reuse one noise draw across "
-                    "all steps)"
-                )
-            noise = jax.random.normal(key, sample.shape, sample.dtype)
+            if noise is None:
+                if key is None:
+                    raise ValueError(
+                        "DDIMScheduler.step with eta > 0 needs a per-step "
+                        "PRNG key or an explicit noise tensor (a fixed "
+                        "default would reuse one draw across all steps)"
+                    )
+                noise = jax.random.normal(key, sample.shape, sample.dtype)
             prev_sample = prev_sample + std * noise
 
         return (

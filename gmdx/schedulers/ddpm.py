@@ -42,11 +42,11 @@ class DDPMScheduler:
         self.variance_type = variance_type
         self.betas = base.make_betas(self.config)
         self.alphas_cumprod = jnp.cumprod(1.0 - self.betas)
-        self.final_alpha_cumprod = (
-            jnp.array(1.0, jnp.float32)
-            if self.config.set_alpha_to_one
-            else self.alphas_cumprod[0]
-        )
+        # diffusers' DDPMScheduler has no set_alpha_to_one: below t=0 it
+        # always uses ᾱ=1 ("self.one"). Using alphas_cumprod[0] here instead
+        # shifted the final ancestral step by ~0.12 maxabs vs the torch
+        # oracle (refbridge trajectory parity).
+        self.final_alpha_cumprod = jnp.array(1.0, jnp.float32)
 
     # -- training API ---------------------------------------------------
     def add_noise(self, original: Array, noise: Array, timesteps: Array) -> Array:
@@ -82,7 +82,11 @@ class DDPMScheduler:
         model_output: Array,
         sample: Array,
         key: Array | None = None,
+        noise: Array | None = None,
     ) -> tuple[DDPMState, Array]:
+        """``noise=`` overrides the key-drawn ancestral noise (parity
+        harnesses replay recorded draws; drawing all noise upfront is also
+        the scan-idiomatic pattern)."""
         t = state.timestep
         prev_t = t - state.step_ratio
 
@@ -107,14 +111,16 @@ class DDPMScheduler:
 
         # Fixed-small variance, noise only while t > 0.
         variance = jnp.clip(beta_prod_prev / beta_prod_t * current_beta, 1e-20, None)
-        if key is None:
-            # A silent fixed default would inject the SAME noise tensor at
-            # every ancestral step — correlated-noise artifacts, no error.
-            raise ValueError(
-                "DDPMScheduler.step needs a per-step PRNG key "
-                "(ancestral sampling adds fresh noise each step)"
-            )
-        noise = jax.random.normal(key, sample.shape, sample.dtype)
+        if noise is None:
+            if key is None:
+                # A silent fixed default would inject the SAME noise tensor
+                # at every ancestral step — correlated-noise artifacts.
+                raise ValueError(
+                    "DDPMScheduler.step needs a per-step PRNG key or an "
+                    "explicit noise tensor (ancestral sampling adds fresh "
+                    "noise each step)"
+                )
+            noise = jax.random.normal(key, sample.shape, sample.dtype)
         prev_sample = prev_sample + jnp.where(t > 0, jnp.sqrt(variance), 0.0) * noise
 
         return (
