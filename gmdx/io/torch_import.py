@@ -262,6 +262,70 @@ def convert_clip_text_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
     return out
 
 
+# torchvision/timm VGG19 ``features`` indices that carry conv weights
+# (configuration E; ReLU/MaxPool slots have no params).
+_VGG19_CONV_INDICES = (0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28, 30, 32, 34)
+
+
+def convert_vgg19_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """torchvision/timm VGG19 state dict -> gmdx VGG19Features param tree.
+
+    Both torchvision ``vgg19(weights=...)`` and timm ``vgg19`` name the conv
+    stack ``features.<idx>.weight|bias``; the reference builds its perceptual
+    extractor from the timm variant (train_vqgan_lora.py:837-863).
+    ``classifier.*`` / ``head.*`` / ``pre_logits.*`` keys (present in full
+    ImageNet checkpoints) are skipped — the perceptual loss only uses the
+    feature stack. Anything else raises.
+    """
+    idx_to_conv = {v: i for i, v in enumerate(_VGG19_CONV_INDICES)}
+    out: Dict = {}
+    for key, value in sd.items():
+        if key.startswith(("classifier.", "head.", "pre_logits.")):
+            continue
+        value = np.asarray(value)
+        parts = key.split(".")
+        if len(parts) == 3 and parts[0] == "features" and parts[2] in (
+            "weight", "bias"
+        ):
+            conv = idx_to_conv.get(int(parts[1]))
+            if conv is None:
+                raise KeyError(f"non-conv VGG19 features index in key: {key}")
+            v = _conv(value) if parts[2] == "weight" else value
+            _set(out, f"conv_{conv}/{_LINEAR_PARAM[parts[2]]}", v)
+        else:
+            raise KeyError(f"unhandled VGG19 key: {key}")
+    missing = [i for i in range(len(_VGG19_CONV_INDICES))
+               if f"conv_{i}" not in out]
+    if missing:
+        raise KeyError(f"VGG19 checkpoint missing conv layers: {missing}")
+    return out
+
+
+def export_vgg19_state_dict(params: Dict) -> Dict[str, np.ndarray]:
+    out = {}
+    for path, value in _flatten(params).items():
+        name, param = path.split("/")
+        conv = int(name.split("_")[1])
+        idx = _VGG19_CONV_INDICES[conv]
+        if param == "kernel":
+            out[f"features.{idx}.weight"] = _inv_conv(value)
+        else:
+            out[f"features.{idx}.bias"] = value
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch checkpoint (.safetensors / .pth / .pt / .bin) to numpy."""
+    if path.endswith(".safetensors"):
+        return load_torch_safetensors(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
 def load_torch_safetensors(path: str) -> Dict[str, np.ndarray]:
     """Read a torch-saved .safetensors into numpy (bf16 -> fp32)."""
     import ml_dtypes  # noqa: F401  (registers bfloat16 for numpy)
@@ -599,6 +663,9 @@ __all__ = [
     "convert_vae_state_dict",
     "convert_clip_text_state_dict",
     "convert_safety_checker_state_dict",
+    "convert_vgg19_state_dict",
+    "export_vgg19_state_dict",
+    "load_torch_checkpoint",
     "export_unet_state_dict",
     "export_vae_state_dict",
     "export_clip_text_state_dict",

@@ -51,6 +51,14 @@ def parse_args():
     p.add_argument("--timm_model_backend", type=str, default="vgg19")
     p.add_argument("--timm_model_layers", type=str, default=None)
     p.add_argument("--timm_model_offset", type=int, default=0)
+    p.add_argument(
+        "--perceptual_ckpt", type=str, default=None,
+        help="pretrained VGG19 weights (torchvision/timm layout; "
+        ".safetensors/.pth/.pt/.bin). The reference uses a *pretrained* "
+        "timm VGG19 (train_vqgan_lora.py:837-863); without this flag the "
+        "perceptual term is a random projection and a loud warning is "
+        "emitted.",
+    )
     # training
     p.add_argument("--output_dir", type=str, default="vqgan-lora-model")
     p.add_argument("--seed", type=int, default=None)
@@ -235,9 +243,29 @@ def main():
     disc_vars = discriminator.init(
         jax.random.key(1), jnp.zeros((1, 3, res, res))
     )
-    vgg_params = vgg.init(jax.random.key(2), jnp.zeros((1, 3, 224, 224)))[
-        "params"
-    ]
+    if args.perceptual_ckpt:
+        from gmdx.io.torch_import import (
+            convert_vgg19_state_dict,
+            load_torch_checkpoint,
+        )
+
+        vgg_params = jax.tree.map(
+            jnp.asarray,
+            convert_vgg19_state_dict(load_torch_checkpoint(args.perceptual_ckpt)),
+        )
+        logging.info("loaded pretrained VGG19 from %s", args.perceptual_ckpt)
+    else:
+        vgg_params = vgg.init(jax.random.key(2), jnp.zeros((1, 3, 224, 224)))[
+            "params"
+        ]
+        logging.warning(
+            "--perceptual_ckpt not given: the VGG19 perceptual loss is "
+            "RANDOMLY INITIALIZED — a random feature projection, not the "
+            "reference's pretrained timm-VGG19 loss "
+            "(train_vqgan_lora.py:837-863). Training runs, but Stage-1 "
+            "quality will not match the reference. Provide torchvision/timm "
+            "vgg19 ImageNet weights via --perceptual_ckpt."
+        )
 
     mesh = make_mesh()
     n_dev = mesh.devices.size

@@ -367,3 +367,83 @@ def test_find_safetensors_prefers_full_precision(tmp_path):
     assert cli._find_safetensors(str(d)).endswith(
         "diffusion_pytorch_model.safetensors"
     )
+
+
+class TestVGG19Interop:
+    """torchvision/timm VGG19 features -> gmdx VGG19Features converter."""
+
+    def _torch_vgg_features(self):
+        import torch
+        from torch import nn
+
+        from gmdx.models.vgg import VGG19_LAYOUT
+
+        layers, in_ch = [], 3
+        for spec in VGG19_LAYOUT:
+            if spec == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers.append(nn.Conv2d(in_ch, spec, 3, padding=1))
+                layers.append(nn.ReLU(inplace=False))
+                in_ch = spec
+        torch.manual_seed(5)
+        return nn.Sequential(*layers)
+
+    def test_convert_and_forward_parity(self):
+        import torch
+
+        from gmdx.io.torch_import import (
+            convert_vgg19_state_dict,
+            export_vgg19_state_dict,
+        )
+        from gmdx.models.vgg import IMAGENET_MEAN, IMAGENET_STD, VGG19Features
+
+        feats = self._torch_vgg_features()
+        sd = {f"features.{k}": v.detach().numpy()
+              for k, v in feats.state_dict().items()}
+        # full ImageNet checkpoints also carry the classifier head — skipped
+        sd["classifier.0.weight"] = np.zeros((1, 1), np.float32)
+        params = convert_vgg19_state_dict(sd)
+
+        x01 = np.random.default_rng(0).random((1, 3, 64, 64)).astype(np.float32)
+        xt = torch.from_numpy(
+            (x01 - IMAGENET_MEAN[None, :, None, None])
+            / IMAGENET_STD[None, :, None, None]
+        )
+        ref_stages = []
+        h = xt
+        with torch.no_grad():
+            for layer in feats:
+                if isinstance(layer, torch.nn.MaxPool2d):
+                    ref_stages.append(h.permute(0, 2, 3, 1).numpy())
+                h = layer(h)
+
+        vgg = VGG19Features()
+        got = vgg.apply(
+            {"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(x01)
+        )
+        assert len(got) == len(ref_stages) == 5
+        for i, (a, b) in enumerate(zip(ref_stages, got)):
+            np.testing.assert_allclose(
+                a, np.asarray(b), atol=5e-4, rtol=1e-4,
+                err_msg=f"stage {i}",
+            )
+
+    def test_round_trip_and_missing_layer_raises(self):
+        from gmdx.io.torch_import import (
+            convert_vgg19_state_dict,
+            export_vgg19_state_dict,
+        )
+
+        feats = self._torch_vgg_features()
+        sd = {f"features.{k}": v.detach().numpy()
+              for k, v in feats.state_dict().items()}
+        params = convert_vgg19_state_dict(sd)
+        back = export_vgg19_state_dict(params)
+        assert set(back) == set(sd)
+        for k in sd:
+            np.testing.assert_array_equal(back[k], sd[k])
+        sd2 = dict(sd)
+        del sd2["features.34.weight"], sd2["features.34.bias"]
+        with pytest.raises(KeyError, match="missing conv"):
+            convert_vgg19_state_dict(sd2)
