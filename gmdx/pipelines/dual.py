@@ -190,6 +190,10 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
         guidance_rescale: float = 0.0,
         eta: float = 0.0,
         latents: Optional[Array] = None,
+        prompt_embeds: Optional[Array] = None,
+        negative_prompt_embeds: Optional[Array] = None,
+        num_images_per_prompt: int = 1,
+        cross_attention_kwargs: Optional[dict] = None,
         clip_skip: Optional[int] = None,
         output_type: str = "pil",
         return_intermediates: bool = False,
@@ -207,9 +211,12 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
             key = jax.random.key(0)
         k_lat, k_steps = jax.random.split(key)
         do_cfg = guidance_scale > 1.0
-        prompt_embeds, neg_embeds = self.encode_prompt(
-            params, prompt, negative_prompt, do_cfg=do_cfg, clip_skip=clip_skip
+        prompt_embeds, neg_embeds = self._resolve_embeds(
+            params, prompt, negative_prompt, prompt_embeds,
+            negative_prompt_embeds, do_cfg=do_cfg, clip_skip=clip_skip,
+            num_images_per_prompt=num_images_per_prompt,
         )
+        params = self._apply_lora_scale(params, cross_attention_kwargs)
         batch = prompt_embeds.shape[0]
         if latents is None:
             latents = self.prepare_latents(k_lat, batch, height, width)

@@ -296,6 +296,61 @@ class StableDiffusionGMPipeline:
             return latents, inter
         return latents
 
+    def _resolve_embeds(
+        self, params, prompt, negative_prompt, prompt_embeds,
+        negative_prompt_embeds, *, do_cfg, clip_skip, num_images_per_prompt,
+    ):
+        """Prompt handling shared by the pipeline ``__call__``s: direct
+        ``prompt_embeds=`` passthrough (reference __call__ surface,
+        stable_diffusion_gm.py:797-798) and diffusers' per-prompt
+        ``num_images_per_prompt`` duplication (repeat-interleave on batch)."""
+        if prompt_embeds is None:
+            prompt_embeds, neg_embeds = self.encode_prompt(
+                params, prompt, negative_prompt, do_cfg=do_cfg,
+                clip_skip=clip_skip,
+            )
+        else:
+            prompt_embeds = jnp.asarray(prompt_embeds)
+            neg_embeds = (
+                jnp.asarray(negative_prompt_embeds)
+                if do_cfg and negative_prompt_embeds is not None
+                else None
+            )
+            if do_cfg and neg_embeds is None:
+                raise ValueError(
+                    "prompt_embeds with guidance_scale > 1 needs "
+                    "negative_prompt_embeds too"
+                )
+        n = num_images_per_prompt
+        if n > 1:
+            prompt_embeds = jnp.repeat(prompt_embeds, n, axis=0)
+            if neg_embeds is not None:
+                neg_embeds = jnp.repeat(neg_embeds, n, axis=0)
+        return prompt_embeds, neg_embeds
+
+    def _apply_lora_scale(self, params, cross_attention_kwargs):
+        """The reference routes ``cross_attention_kwargs={"scale": s}`` to
+        its LoRA attention processors (formal_improved.py:259-269). gmdx's
+        LoRA is a param-tree transform, so the equivalent is merging the
+        factors at ``s x alpha/rank`` before the denoise scan. Looks for
+        ``<name>_lora`` trees next to each model's params; silently no-ops
+        when absent, exactly like the reference without LoRA layers loaded."""
+        if not cross_attention_kwargs:
+            return params
+        scale = cross_attention_kwargs.get("scale")
+        if scale is None:
+            return params
+        from gmdx.models.lora import LoRAConfig, merge_lora
+
+        out = dict(params)
+        for name in ("unet", "gm_unet"):
+            lora = params.get(f"{name}_lora")
+            if lora is not None and name in params:
+                out[name] = merge_lora(
+                    params[name], lora, scale * LoRAConfig().scale
+                )
+        return out
+
     def __call__(
         self,
         params,
@@ -309,6 +364,10 @@ class StableDiffusionGMPipeline:
         guidance_rescale: float = 0.0,
         eta: float = 0.0,
         latents: Optional[Array] = None,
+        prompt_embeds: Optional[Array] = None,
+        negative_prompt_embeds: Optional[Array] = None,
+        num_images_per_prompt: int = 1,
+        cross_attention_kwargs: Optional[dict] = None,
         clip_skip: Optional[int] = None,
         output_type: str = "pil",
     ):
@@ -317,7 +376,10 @@ class StableDiffusionGMPipeline:
 
         ``latents=`` accepts pre-drawn initial noise for parity harnesses
         (the reference supports the same injection,
-        stable_diffusion_gm.py:796)."""
+        stable_diffusion_gm.py:796); ``prompt_embeds=`` bypasses the
+        tokenizer/text-encoder (:797). ``num_images_per_prompt`` also
+        repeats ``sdr_latent`` — the reference would hit a shape error in
+        its channel concat for n>1 (a latent defect not replicated)."""
         self.check_inputs(
             prompt, guidance_rescale=guidance_rescale,
             negative_prompt=negative_prompt, latents=latents,
@@ -326,9 +388,14 @@ class StableDiffusionGMPipeline:
             key = jax.random.key(0)
         k_lat, k_steps = jax.random.split(key)
         do_cfg = guidance_scale > 1.0
-        prompt_embeds, neg_embeds = self.encode_prompt(
-            params, prompt, negative_prompt, do_cfg=do_cfg, clip_skip=clip_skip
+        prompt_embeds, neg_embeds = self._resolve_embeds(
+            params, prompt, negative_prompt, prompt_embeds,
+            negative_prompt_embeds, do_cfg=do_cfg, clip_skip=clip_skip,
+            num_images_per_prompt=num_images_per_prompt,
         )
+        params = self._apply_lora_scale(params, cross_attention_kwargs)
+        if num_images_per_prompt > 1:
+            sdr_latent = jnp.repeat(sdr_latent, num_images_per_prompt, axis=0)
         if latents is None:
             latents = self.prepare_latents(k_lat, sdr_latent)
         n_steps = self._num_steps(num_inference_steps)

@@ -235,6 +235,13 @@ def main():
     compute_dtype = {"bf16": jnp.bfloat16, "fp16": jnp.float16}.get(
         args.mixed_precision, jnp.float32
     )
+    if compute_dtype == jnp.float16:
+        logging.warning(
+            "--mixed_precision fp16: accepted for reference CLI parity, but "
+            "bf16 is the TPU-native half type. fp16's 5-bit exponent can "
+            "under/overflow GroupNorm statistics and GAN losses; this path "
+            "is not benchmarked or numerically validated — prefer bf16."
+        )
     if compute_dtype != jnp.float32:
         vae = type(vae)(vae.config, dtype=compute_dtype)
     discriminator = Discriminator(dtype=compute_dtype)

@@ -368,3 +368,106 @@ class TestLCMSampling:
             key=jax.random.key(6), num_inference_steps=4, output_type="latent",
         )
         np.testing.assert_array_equal(np.asarray(out), np.asarray(again))
+
+
+class TestCallAPIParity:
+    """Round-2 reference __call__ surface: prompt_embeds=,
+    num_images_per_prompt, cross_attention_kwargs LoRA scale
+    (stable_diffusion_gm.py:780-811, formal_improved.py:259-269)."""
+
+    def test_prompt_embeds_injection_matches_encoded(self, components):
+        unet8, _, vae, text, tok, params = components
+        pipe = StableDiffusionGMPipeline(unet8, vae, text, tok, PNDMScheduler())
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        lat = jax.random.normal(jax.random.key(9), LAT)
+        cond, uncond = pipe.encode_prompt(params, "a scene", None)
+        via_prompt = pipe(
+            params, sdr_latent, "a scene", latents=lat,
+            num_inference_steps=2, output_type="latent",
+        )
+        via_embeds = pipe(
+            params, sdr_latent, prompt_embeds=cond,
+            negative_prompt_embeds=uncond, latents=lat,
+            num_inference_steps=2, output_type="latent",
+        )
+        np.testing.assert_array_equal(np.asarray(via_prompt),
+                                      np.asarray(via_embeds))
+
+    def test_prompt_embeds_without_negative_raises_under_cfg(self, components):
+        unet8, _, vae, text, tok, params = components
+        pipe = StableDiffusionGMPipeline(unet8, vae, text, tok, PNDMScheduler())
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        with pytest.raises(ValueError, match="negative_prompt_embeds"):
+            pipe(params, sdr_latent,
+                 prompt_embeds=jnp.zeros((1, 7, 32)),
+                 num_inference_steps=2, output_type="latent")
+
+    def test_num_images_per_prompt_batches(self, components):
+        unet8, _, vae, text, tok, params = components
+        pipe = StableDiffusionGMPipeline(unet8, vae, text, tok, PNDMScheduler())
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        out = pipe(
+            params, sdr_latent, "x", key=jax.random.key(6),
+            num_images_per_prompt=3, num_inference_steps=2,
+            output_type="latent",
+        )
+        assert out.shape == (3, 4, 4, 4)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_num_images_per_prompt_dual(self, components):
+        unet8, unet4, vae, text, tok, params = components
+        pipe = StableDiffusionDualUNetPipeline(
+            unet4, vae, text, tok, PNDMScheduler(), gm_unet=unet8,
+        )
+        p = {"unet": params["unet4"], "gm_unet": params["unet"],
+             "vae": params["vae"], "text_encoder": params["text_encoder"]}
+        sdr, gm = pipe(
+            p, "x", key=jax.random.key(6), height=32, width=32,
+            num_images_per_prompt=2, num_inference_steps=2,
+            output_type="latent",
+        )
+        assert sdr.shape == (2, 4, 4, 4) and gm.shape == (2, 4, 4, 4)
+
+    def test_cross_attention_scale_equals_merged_lora(self, components):
+        from gmdx.models.lora import LoRAConfig, init_lora_params, merge_lora
+
+        unet8, _, vae, text, tok, params = components
+        pipe = StableDiffusionGMPipeline(unet8, vae, text, tok, PNDMScheduler())
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        lat = jax.random.normal(jax.random.key(9), LAT)
+        lora = init_lora_params(
+            jax.random.key(10), params["unet"], LoRAConfig(rank=2, alpha=2)
+        )
+        # make the delta nonzero (b starts at zeros)
+        lora = jax.tree.map(
+            lambda x: x + 0.05 * jnp.ones_like(x), lora
+        )
+        p_with = dict(params)
+        p_with["unet_lora"] = lora
+        via_kwargs = pipe(
+            params | {"unet_lora": lora}, sdr_latent, "x", latents=lat,
+            num_inference_steps=2, output_type="latent",
+            cross_attention_kwargs={"scale": 0.8},
+        )
+        merged = dict(params)
+        merged["unet"] = merge_lora(
+            params["unet"], lora, 0.8 * LoRAConfig().scale
+        )
+        via_merge = pipe(
+            merged, sdr_latent, "x", latents=lat,
+            num_inference_steps=2, output_type="latent",
+        )
+        np.testing.assert_allclose(
+            np.asarray(via_kwargs), np.asarray(via_merge), atol=1e-6
+        )
+        # scale with no LoRA in params: silent no-op (reference behavior)
+        no_lora = pipe(
+            params, sdr_latent, "x", latents=lat,
+            num_inference_steps=2, output_type="latent",
+            cross_attention_kwargs={"scale": 0.8},
+        )
+        base = pipe(
+            params, sdr_latent, "x", latents=lat,
+            num_inference_steps=2, output_type="latent",
+        )
+        np.testing.assert_array_equal(np.asarray(no_lora), np.asarray(base))
