@@ -77,8 +77,11 @@ def build():
             params, cond, uncond, latents,
             num_inference_steps=STEPS, guidance_scale=7.5,
         )
-        sdr = pipe.decode_latents(params, sdr_lat)
-        gm = pipe.decode_latents(params, gm_lat)
+        # one batched decode instead of two sequential calls
+        both = pipe.decode_latents(
+            params, jnp.concatenate([sdr_lat, gm_lat], axis=0)
+        )
+        sdr, gm = jnp.split(both, 2, axis=0)
         return sdr, gm
 
     latents = jax.random.normal(jax.random.key(2), (BATCH, 4, h, w))

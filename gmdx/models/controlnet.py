@@ -95,12 +95,18 @@ class ControlNetModel(nn.Module):
         encoder_hidden_states: Array,
         controlnet_cond: Array,  # (B, 3, H, W) control image in [0, 1]
         conditioning_scale: float = 1.0,
+        channels_last: bool = False,
     ) -> Tuple[Tuple[Array, ...], Array]:
         """Returns (down_block_residuals, mid_residual) in NHWC, ready for
-        UNet2DConditionModel's additional-residual hooks."""
+        UNet2DConditionModel's additional-residual hooks. ``channels_last``
+        takes sample/cond as NHWC (the denoise scans' on-device layout)."""
         cfg = self.config.unet
-        x = jnp.transpose(sample, (0, 2, 3, 1)).astype(self.dtype)
-        cond = jnp.transpose(controlnet_cond, (0, 2, 3, 1)).astype(self.dtype)
+        if channels_last:
+            x = sample.astype(self.dtype)
+            cond = controlnet_cond.astype(self.dtype)
+        else:
+            x = jnp.transpose(sample, (0, 2, 3, 1)).astype(self.dtype)
+            cond = jnp.transpose(controlnet_cond, (0, 2, 3, 1)).astype(self.dtype)
         context = encoder_hidden_states.astype(self.dtype)
         b = x.shape[0]
 

@@ -125,11 +125,33 @@ class GroupNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
+class _Kernel(nn.Module):
+    """Bias-free projection kernel holder; keeps the ``<name>/kernel`` tree
+    layout of nn.Dense so checkpoints are unchanged."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_dim, self.out_dim),
+        )
+
+
 class Attention(nn.Module):
     """Multi-head attention over (B, S, C) sequences; cross if context given.
 
     Matches the SD attention block: no-bias q/k/v projections, bias on the
-    output projection, head count = query_dim // head_dim.
+    output projection, head count = query_dim // head_dim. The q/k/v params
+    stay separate (diffusers checkpoint layout) but the projections execute
+    as ONE fused matmul for self-attention (kernel concat is loop-invariant
+    — XLA hoists it out of the denoise scan) and a fused k|v matmul for
+    cross-attention: at SD-1.5's 320-wide blocks a lone 320-column matmul
+    wastes 17% of the MXU's 128-lane tiling that the 960-column fused one
+    doesn't.
     """
 
     query_dim: int
@@ -140,11 +162,29 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
-        context = x if context is None else context
         inner = self.heads * self.head_dim
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        c_in = x.shape[-1]
+        ctx_in = c_in if context is None else context.shape[-1]
+        wq = _Kernel(c_in, inner, name="to_q")().astype(self.dtype)
+        wk = _Kernel(ctx_in, inner, name="to_k")().astype(self.dtype)
+        wv = _Kernel(ctx_in, inner, name="to_v")().astype(self.dtype)
+
+        import os
+
+        fused = os.environ.get("GMDX_FUSED_QKV", "1") != "0"
+        if context is None:
+            if fused:
+                qkv = x @ jnp.concatenate([wq, wk, wv], axis=1)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+            else:
+                q, k, v = x @ wq, x @ wk, x @ wv
+        else:
+            q = x @ wq
+            if fused:
+                kv = context @ jnp.concatenate([wk, wv], axis=1)
+                k, v = jnp.split(kv, 2, axis=-1)
+            else:
+                k, v = context @ wk, context @ wv
 
         b, sq, _ = q.shape
         sk = k.shape[1]

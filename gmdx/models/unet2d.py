@@ -85,17 +85,26 @@ class UNet2DConditionModel(nn.Module):
     @nn.compact
     def __call__(
         self,
-        sample: Array,  # (B, C_in, H, W) — NCHW boundary
+        sample: Array,  # (B, C_in, H, W) — NCHW boundary (see channels_last)
         timesteps: Array,  # () or (B,)
         encoder_hidden_states: Array,  # (B, S, cross_attention_dim)
         down_block_additional_residuals: Optional[Tuple[Array, ...]] = None,
         mid_block_additional_residual: Optional[Array] = None,
+        channels_last: bool = False,
     ) -> Array:
         """ControlNet hooks: the additional residuals (NHWC, one per skip +
         one for the mid state) are added exactly where diffusers adds them —
-        to each stored skip and to the mid-block output."""
+        to each stored skip and to the mid-block output.
+
+        ``channels_last=True`` takes/returns NHWC directly, skipping the
+        boundary transposes — the denoise scans keep latents NHWC across all
+        50 steps (layout copies were ~7% of the step in device traces);
+        NCHW remains the default boundary for reference API parity."""
         cfg = self.config
-        x = jnp.transpose(sample, (0, 2, 3, 1)).astype(self.dtype)
+        if channels_last:
+            x = sample.astype(self.dtype)
+        else:
+            x = jnp.transpose(sample, (0, 2, 3, 1)).astype(self.dtype)
         context = encoder_hidden_states.astype(self.dtype)
         b = x.shape[0]
 
@@ -210,6 +219,8 @@ class UNet2DConditionModel(nn.Module):
         h = nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(h)
+        if channels_last:
+            return h.astype(jnp.float32)
         return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)
 
 

@@ -130,6 +130,8 @@ class StableDiffusionControlNetHDRPipeline(StableDiffusionDualUNetPipeline):
         sched = self.scheduler
         acp = sched.alphas_cumprod
         n_steps = self._num_steps(num_inference_steps)
+        # NHWC across the scan (see gm.py _denoise_impl).
+        latents = jnp.transpose(latents, (0, 2, 3, 1))
         sdr_state = self._init_sched_state(num_inference_steps, latents.shape)
         gm_state = self._init_sched_state(num_inference_steps, latents.shape)
         gm_latents = latents
@@ -143,11 +145,9 @@ class StableDiffusionControlNetHDRPipeline(StableDiffusionDualUNetPipeline):
         cnet = functools.partial(
             self.controlnet.apply, {"params": params["controlnet"]}
         )
-        ctrl = (
-            jnp.concatenate([control_image, control_image], axis=0)
-            if do_cfg
-            else control_image
-        )
+        ctrl = jnp.transpose(control_image, (0, 2, 3, 1))
+        if do_cfg:
+            ctrl = jnp.concatenate([ctrl, ctrl], axis=0)
 
         def sched_step(st, eps, lat, key):
             return scheduler_step(sched, st, eps, lat, key=key, eta=eta)
@@ -161,12 +161,14 @@ class StableDiffusionControlNetHDRPipeline(StableDiffusionDualUNetPipeline):
             if do_cfg:
                 lat_in = jnp.concatenate([lat_in, lat_in], axis=0)
             down_res, mid_res = cnet(
-                lat_in, t, context, ctrl, conditioning_scale
+                lat_in, t, context, ctrl, conditioning_scale,
+                channels_last=True,
             )
             eps = sdr_unet(
                 lat_in, t, context,
                 down_block_additional_residuals=down_res,
                 mid_block_additional_residual=mid_res,
+                channels_last=True,
             )
             if do_cfg:
                 eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
@@ -180,8 +182,8 @@ class StableDiffusionControlNetHDRPipeline(StableDiffusionDualUNetPipeline):
             k_sdr, k_gm = jax.random.split(key)
             sdr_st, lat = sched_step(sdr_st, eps, lat, k_sdr)
 
-            gm_in = jnp.concatenate([x0, gm_lat], axis=1)
-            gm_eps = gm_unet(gm_in, t, prompt_embeds)
+            gm_in = jnp.concatenate([x0, gm_lat], axis=-1)
+            gm_eps = gm_unet(gm_in, t, prompt_embeds, channels_last=True)
             gm_st, gm_lat = sched_step(gm_st, gm_eps, gm_lat, k_gm)
 
             y = (lat, gm_lat) if return_intermediates else None
@@ -191,7 +193,12 @@ class StableDiffusionControlNetHDRPipeline(StableDiffusionDualUNetPipeline):
             body, (sdr_state, gm_state, latents, gm_latents),
             step_keys[:n_steps],
         )
+        latents = jnp.transpose(latents, (0, 3, 1, 2))
+        gm_latents = jnp.transpose(gm_latents, (0, 3, 1, 2))
         if return_intermediates:
+            inter = jax.tree.map(
+                lambda a: jnp.transpose(a, (0, 1, 4, 2, 3)), inter
+            )
             return (latents, gm_latents), inter
         return latents, gm_latents
 

@@ -121,6 +121,8 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
         sched = self.scheduler
         acp = sched.alphas_cumprod
         n_steps = self._num_steps(num_inference_steps)
+        # NHWC across the scan (see gm.py _denoise_impl).
+        latents = jnp.transpose(latents, (0, 2, 3, 1))
         sdr_state = self._init_sched_state(num_inference_steps, latents.shape)
         gm_state = self._init_sched_state(num_inference_steps, latents.shape)
         gm_latents = latents  # reference :1012 latents.clone()
@@ -145,7 +147,7 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
             gm_lat = sched.scale_model_input(gm_st, gm_lat)
             if do_cfg:
                 lat_in = jnp.concatenate([lat_in, lat_in], axis=0)
-            eps = sdr_unet(lat_in, t, context)
+            eps = sdr_unet(lat_in, t, context, channels_last=True)
             if do_cfg:
                 eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
                 eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
@@ -160,8 +162,8 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
             sdr_st, lat = sched_step(sdr_st, eps, lat, k_sdr)
 
             # --- GM branch, conditional-only (reference :1080-1093) ---
-            gm_in = jnp.concatenate([x0, gm_lat], axis=1)
-            gm_eps = gm_unet(gm_in, t, prompt_embeds)
+            gm_in = jnp.concatenate([x0, gm_lat], axis=-1)
+            gm_eps = gm_unet(gm_in, t, prompt_embeds, channels_last=True)
             gm_st, gm_lat = sched_step(gm_st, gm_eps, gm_lat, k_gm)
 
             y = (lat, gm_lat) if return_intermediates else None
@@ -172,7 +174,12 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
             (sdr_state, gm_state, latents, gm_latents),
             step_keys[:n_steps],
         )
+        latents = jnp.transpose(latents, (0, 3, 1, 2))
+        gm_latents = jnp.transpose(gm_latents, (0, 3, 1, 2))
         if return_intermediates:
+            inter = jax.tree.map(
+                lambda a: jnp.transpose(a, (0, 1, 4, 2, 3)), inter
+            )
             return (latents, gm_latents), inter
         return latents, gm_latents
 
@@ -243,13 +250,16 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
         if output_type == "latent":
             result = (sdr_lat, gm_lat)
         else:
-            def post(lat):
-                img = np.asarray(self.decode_latents(params, lat))
-                return np.transpose(
-                    np.clip(img / 2.0 + 0.5, 0.0, 1.0), (0, 2, 3, 1)
+            both = np.asarray(
+                self.decode_latents(
+                    params, jnp.concatenate([sdr_lat, gm_lat], axis=0)
                 )
-
-            result = (post(sdr_lat), post(gm_lat))
+            )
+            both = np.transpose(
+                np.clip(both / 2.0 + 0.5, 0.0, 1.0), (0, 2, 3, 1)
+            )
+            b = sdr_lat.shape[0]
+            result = (both[:b], both[b:])
         if return_intermediates:
             return result, inter
         return result

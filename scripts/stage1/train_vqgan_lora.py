@@ -138,9 +138,10 @@ def choose_tmo(name: str, use_2446a: bool = False):
     }[name]
 
 
-def log_validation(args, vae, params, step, val_dir):
+def log_validation(args, vae, params, step, val_dir, metrics_log=None):
     """Reference log_validation (:170-327): encode/decode val PNGs to gain
-    maps, reconstruct HDR at qmax=49, save .hdr + side-by-side previews."""
+    maps, reconstruct HDR at qmax=49, save .hdr + side-by-side previews;
+    grids also land in the tracker (reference :303-322)."""
     import glob
 
     import jax
@@ -185,6 +186,10 @@ def log_validation(args, vae, params, step, val_dir):
         )
         save_image(os.path.join(val_dir, f"grid_{name}.png"),
                    strip.transpose(1, 2, 0))
+        if metrics_log is not None:
+            metrics_log.log_images(
+                step, {f"validation/grid_{i}": strip.transpose(1, 2, 0)}
+            )
         ranges.append((float(hdr.min()), float(hdr.max())))
     with open(os.path.join(val_dir, "evaluation_log.txt"), "a") as f:
         f.write(f"step {step}: hdr ranges {ranges}\n")
@@ -426,7 +431,8 @@ def main():
             host_state = jax.device_get(state)
             eff = effective_vae_params(cfg, vae_params, host_state.trainables)
             log_validation(args, vae, eff, global_step,
-                           os.path.join(args.output_dir, "validation"))
+                           os.path.join(args.output_dir, "validation"),
+                           metrics_log=metrics_log)
 
     # Final artifacts: finetuned_VAE (merged) + discriminator (:1294-1301).
     host_state = jax.device_get(state)

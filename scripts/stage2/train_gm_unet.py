@@ -130,9 +130,11 @@ def parse_args():
     return args
 
 
-def log_validation(args, pipe, params, step, val_dir):
+def log_validation(args, pipe, params, step, val_dir, metrics_log=None):
     """Reference log_validation (:159-285): PNDM 49 steps per prompt + SDR
-    image, decode GM, reconstruct HDR, save previews."""
+    image, decode GM, reconstruct HDR, save previews; grids also go to the
+    tracker (tensorboard/wandb) like the reference's image logging
+    (:264-279)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -178,6 +180,10 @@ def log_validation(args, pipe, params, step, val_dir):
             os.path.join(val_dir, f"hdr_{name}.hdr"), hdr.transpose(1, 2, 0),
             qmax=49.0,
         )
+        if metrics_log is not None:
+            metrics_log.log_images(
+                step, {f"validation/gm_{i}": gm01.transpose(1, 2, 0)}
+            )
     logger.info("validation images written to %s", val_dir)
 
 
@@ -483,6 +489,7 @@ def main():
             log_validation(
                 args, pipe, val_params, global_step,
                 os.path.join(args.output_dir, "validation"),
+                metrics_log=metrics_log,
             )
 
     # Final save as a complete GM pipeline (reference :1277-1295).

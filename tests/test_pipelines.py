@@ -43,8 +43,12 @@ class ProbeUNet:
     sensitive to the context, while staying exactly reproducible in numpy.
     """
 
-    def apply(self, variables, sample, t, context):
+    def apply(self, variables, sample, t, context, channels_last=False):
         ctx_term = jnp.mean(context, axis=(1, 2))[:, None, None, None] * 0.05
+        if channels_last:
+            return (
+                0.1 * sample[..., :4] + 0.2 * sample[..., 4:8] + ctx_term
+            ).astype(jnp.float32)
         return (
             0.1 * sample[:, :4] + 0.2 * sample[:, 4:8] + ctx_term
         ).astype(jnp.float32)
@@ -53,8 +57,10 @@ class ProbeUNet:
 class ProbeUNet4:
     """4-channel probe for the dual pipeline's SDR branch."""
 
-    def apply(self, variables, sample, t, context):
+    def apply(self, variables, sample, t, context, channels_last=False):
         ctx_term = jnp.mean(context, axis=(1, 2))[:, None, None, None] * 0.05
+        if channels_last:
+            return (0.15 * sample[..., :4] + ctx_term).astype(jnp.float32)
         return (0.15 * sample[:, :4] + ctx_term).astype(jnp.float32)
 
 
@@ -263,10 +269,13 @@ class TestDualPipeline:
         seen = {}
 
         class RecordingProbe:
-            def apply(self, variables, sample, t, context):
+            def apply(self, variables, sample, t, context, channels_last=False):
                 seen["gm_ctx_batch"] = context.shape[0]
-                seen["gm_in_channels"] = sample.shape[1]
-                return jnp.zeros_like(sample[:, 4:8])
+                ch_ax = -1 if channels_last else 1
+                seen["gm_in_channels"] = sample.shape[ch_ax]
+                return jnp.zeros_like(
+                    sample[..., 4:8] if channels_last else sample[:, 4:8]
+                )
 
         pipe = StableDiffusionDualUNetPipeline(
             ProbeUNet4(), vae, text, tok, PNDMScheduler(), gm_unet=RecordingProbe()
@@ -329,9 +338,11 @@ class TestDualBatchGreaterThanOne:
         seen = {}
 
         class RecordingProbe:
-            def apply(self, variables, sample, t, context):
+            def apply(self, variables, sample, t, context, channels_last=False):
                 seen["gm_ctx_batch"] = context.shape[0]
-                return jnp.zeros_like(sample[:, 4:8])
+                return jnp.zeros_like(
+                    sample[..., 4:8] if channels_last else sample[:, 4:8]
+                )
 
         pipe = StableDiffusionDualUNetPipeline(
             ProbeUNet4(), vae, text, tok, PNDMScheduler(),
