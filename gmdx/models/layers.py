@@ -171,7 +171,11 @@ class Attention(nn.Module):
 
         import os
 
-        fused = os.environ.get("GMDX_FUSED_QKV", "1") != "0"
+        # Default OFF: measured -1.6% on the 512^2 dual-UNet bench (0.7586
+        # -> 0.7466 img/s) — the kernel concat is evidently NOT hoisted out
+        # of the denoise scan, and three matmuls with fused epilogues beat
+        # one wider one. GMDX_FUSED_QKV=1 re-enables for future A/Bs.
+        fused = os.environ.get("GMDX_FUSED_QKV", "0") == "1"
         if context is None:
             if fused:
                 qkv = x @ jnp.concatenate([wq, wk, wv], axis=1)
