@@ -201,6 +201,8 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
         negative_prompt_embeds: Optional[Array] = None,
         num_images_per_prompt: int = 1,
         cross_attention_kwargs: Optional[dict] = None,
+        timesteps=None,
+        sigmas=None,
         clip_skip: Optional[int] = None,
         output_type: str = "pil",
         return_intermediates: bool = False,
@@ -214,6 +216,7 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
             guidance_rescale=guidance_rescale,
             negative_prompt=negative_prompt, latents=latents,
         )
+        self._reject_custom_schedule(timesteps, sigmas)
         if key is None:
             key = jax.random.key(0)
         k_lat, k_steps = jax.random.split(key)

@@ -334,6 +334,21 @@ class StableDiffusionGMPipeline:
                 neg_embeds = jnp.repeat(neg_embeds, n, axis=0)
         return prompt_embeds, neg_embeds
 
+    @staticmethod
+    def _reject_custom_schedule(timesteps, sigmas) -> None:
+        """API parity for the reference's ``timesteps=``/``sigmas=`` args:
+        its retrieve_timesteps (stable_diffusion_gm.py:97-153) raises for
+        schedulers whose set_timesteps doesn't accept them — which is every
+        scheduler the reference pins (DDPM/PNDM/DDIM/DPM++). Same behavior,
+        same failure mode, clearer message."""
+        if timesteps is not None or sigmas is not None:
+            raise ValueError(
+                "custom `timesteps`/`sigmas` schedules are not supported by "
+                "this scheduler family (matching the reference's "
+                "retrieve_timesteps rejection for its pinned schedulers); "
+                "use num_inference_steps"
+            )
+
     def _apply_lora_scale(self, params, cross_attention_kwargs):
         """The reference routes ``cross_attention_kwargs={"scale": s}`` to
         its LoRA attention processors (formal_improved.py:259-269). gmdx's
@@ -374,6 +389,8 @@ class StableDiffusionGMPipeline:
         negative_prompt_embeds: Optional[Array] = None,
         num_images_per_prompt: int = 1,
         cross_attention_kwargs: Optional[dict] = None,
+        timesteps=None,
+        sigmas=None,
         clip_skip: Optional[int] = None,
         output_type: str = "pil",
     ):
@@ -390,6 +407,7 @@ class StableDiffusionGMPipeline:
             prompt, guidance_rescale=guidance_rescale,
             negative_prompt=negative_prompt, latents=latents,
         )
+        self._reject_custom_schedule(timesteps, sigmas)
         if key is None:
             key = jax.random.key(0)
         k_lat, k_steps = jax.random.split(key)

@@ -29,6 +29,13 @@ def main():
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--qmax", type=float, default=99.0)
     p.add_argument("--num_prompts", type=int, default=None)
+    p.add_argument(
+        "--lora_scale", type=float, default=0.8,
+        help="the reference passes cross_attention_kwargs={'scale': 0.8} "
+        "(formal_improved.py:259-269); applied here via the pipeline's LoRA "
+        "merge when <name>_lora trees are present in params — a silent "
+        "no-op otherwise, exactly like the reference without LoRA loaded",
+    )
     args = p.parse_args()
 
     import jax
@@ -45,6 +52,7 @@ def main():
             height=args.resolution, width=args.resolution,
             num_inference_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale, eta=args.eta,
+            cross_attention_kwargs={"scale": args.lora_scale},
         )
         export_hdr_outputs(
             args.output_dir, f"{i:02d}", np.asarray(sdr[0]),

@@ -482,3 +482,24 @@ class TestCallAPIParity:
             num_inference_steps=2, output_type="latent",
         )
         np.testing.assert_array_equal(np.asarray(no_lora), np.asarray(base))
+
+    def test_custom_timesteps_sigmas_rejected(self, components):
+        """The reference's retrieve_timesteps raises for timesteps=/sigmas=
+        with every scheduler it pins (stable_diffusion_gm.py:97-153)."""
+        unet8, unet4, vae, text, tok, params = components
+        pipe = StableDiffusionGMPipeline(unet8, vae, text, tok, PNDMScheduler())
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        with pytest.raises(ValueError, match="timesteps"):
+            pipe(params, sdr_latent, "x", num_inference_steps=2,
+                 timesteps=[999, 500, 1], output_type="latent")
+        with pytest.raises(ValueError, match="sigmas"):
+            pipe(params, sdr_latent, "x", num_inference_steps=2,
+                 sigmas=[1.0, 0.5, 0.0], output_type="latent")
+        dual = StableDiffusionDualUNetPipeline(
+            unet4, vae, text, tok, PNDMScheduler(), gm_unet=unet8,
+        )
+        p = {"unet": params["unet4"], "gm_unet": params["unet"],
+             "vae": params["vae"], "text_encoder": params["text_encoder"]}
+        with pytest.raises(ValueError, match="timesteps"):
+            dual(p, "x", height=32, width=32, num_inference_steps=2,
+                 timesteps=[999, 1], output_type="latent")
