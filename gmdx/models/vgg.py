@@ -70,12 +70,27 @@ def perceptual_loss(
     return total / len(feats_a)
 
 
-def resize_for_vgg(x: Array, resolution: int = 224) -> Array:
-    """Bilinear resize of a (B, 3, H, W) batch to the VGG input resolution
-    (the reference F.interpolate's default mode is nearest; timm transforms
-    use bilinear — we use bilinear for antialiasing-free parity either way)."""
-    b, c, _, _ = x.shape
-    return jax.image.resize(x, (b, c, resolution, resolution), method="bilinear")
+def resize_for_vgg(
+    x: Array, resolution: int = 224, method: str = "torch_nearest"
+) -> Array:
+    """Resize a (B, 3, H, W) batch to the VGG input resolution.
+
+    The reference feeds the perceptual backbone through
+    ``F.interpolate(pixel_values, timm_model_resolution)`` whose default
+    mode is **nearest** (train_vqgan_lora.py:114-115): source index =
+    ``floor(i * in/out)``. ``torch_nearest`` reproduces that exactly (jax's
+    own "nearest" uses pixel-center alignment, which picks different
+    source rows). "bilinear"/"nearest" fall through to jax.image.resize."""
+    b, c, h, w = x.shape
+    if method == "torch_nearest":
+        ih = np.minimum(
+            (np.arange(resolution) * (h / resolution)).astype(np.int32), h - 1
+        )
+        iw = np.minimum(
+            (np.arange(resolution) * (w / resolution)).astype(np.int32), w - 1
+        )
+        return x[:, :, ih][:, :, :, iw]
+    return jax.image.resize(x, (b, c, resolution, resolution), method=method)
 
 
 __all__ = ["VGG19Features", "VGG19_LAYOUT", "perceptual_loss", "resize_for_vgg"]

@@ -263,6 +263,52 @@ class KarrasDiffusionSchedulers:
     pass
 
 
+class ConfigMixin:
+    """Minimal diffusers.ConfigMixin: stores the decorated __init__'s bound
+    arguments as ``.config`` (enough for the reference Discriminator,
+    gm_diffusion/stage1/discriminator.py:13-15)."""
+
+    @property
+    def config(self):
+        return getattr(self, "_internal_dict", FrozenDict())
+
+    def register_to_config(self, **kwargs):
+        d = dict(getattr(self, "_internal_dict", {}))
+        d.update(kwargs)
+        self._internal_dict = FrozenDict(d)
+
+
+def register_to_config(init):
+    """Decorator form (diffusers.configuration_utils.register_to_config)."""
+    import functools
+    import inspect
+
+    @functools.wraps(init)
+    def wrapper(self, *args, **kwargs):
+        sig = inspect.signature(init)
+        bound = sig.bind(self, *args, **kwargs)
+        bound.apply_defaults()
+        self._internal_dict = FrozenDict(
+            {k: v for k, v in bound.arguments.items() if k != "self"}
+        )
+        init(self, *args, **kwargs)
+
+    return wrapper
+
+
+class ModelMixin(torch.nn.Module):
+    """Minimal diffusers.ModelMixin: an nn.Module with the dtype/device
+    conveniences the reference models touch."""
+
+    @property
+    def dtype(self):
+        return next(self.parameters()).dtype
+
+    @property
+    def device(self):
+        return next(self.parameters()).device
+
+
 def _module(name: str, **attrs) -> types.ModuleType:
     mod = sys.modules.get(name)
     if mod is None:
@@ -302,7 +348,9 @@ def install_shim() -> bool:
     _module("diffusers.callbacks",
             MultiPipelineCallbacks=MultiPipelineCallbacks,
             PipelineCallback=PipelineCallback)
-    _module("diffusers.configuration_utils", FrozenDict=FrozenDict)
+    _module("diffusers.configuration_utils", FrozenDict=FrozenDict,
+            ConfigMixin=ConfigMixin, register_to_config=register_to_config)
+    _module("diffusers.models.modeling_utils", ModelMixin=ModelMixin)
     _module("diffusers.image_processor",
             PipelineImageInput=PipelineImageInput,
             VaeImageProcessor=VaeImageProcessor)

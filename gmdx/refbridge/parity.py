@@ -67,7 +67,13 @@ def make_torch_stack(seed: int = 0):
 
 
 def torch_state_dict_numpy(module) -> Dict[str, np.ndarray]:
-    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+    # .numpy() aliases the tensor's storage — copy, so a later in-place
+    # torch optimizer step can't mutate the converted params (train parity
+    # runs the torch side's opt.step() on the same modules).
+    return {
+        k: v.detach().cpu().numpy().copy()
+        for k, v in module.state_dict().items()
+    }
 
 
 def gmdx_params_from_torch(stack) -> Dict:

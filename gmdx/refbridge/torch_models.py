@@ -533,9 +533,49 @@ class AutoencoderKL(nn.Module):
         return SimpleNamespace(sample=img)
 
 
+class VGG19Features(nn.Module):
+    """VGG19 conv stack in the torchvision ``features.N.*`` key layout
+    (what ``gmdx.io.torch_import.convert_vgg19_state_dict`` consumes and the
+    timm/torchvision checkpoints ship). Forward takes an already-normalized
+    NCHW batch and returns the five pre-pool stage maps — the same taps as
+    gmdx/models/vgg.py:VGG19Features."""
+
+    LAYOUT = (
+        64, 64, "M",
+        128, 128, "M",
+        256, 256, 256, 256, "M",
+        512, 512, 512, 512, "M",
+        512, 512, 512, 512, "M",
+    )
+
+    def __init__(self, width_mult: float = 1.0):
+        super().__init__()
+        layers = []
+        in_ch = 3
+        for spec in self.LAYOUT:
+            if spec == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                out_ch = max(int(spec * width_mult), 1)
+                layers.append(nn.Conv2d(in_ch, out_ch, 3, padding=1))
+                layers.append(nn.ReLU(inplace=False))
+                in_ch = out_ch
+        self.features = nn.Sequential(*layers)
+
+    def forward(self, x):
+        feats = []
+        h = x
+        for layer in self.features:
+            if isinstance(layer, nn.MaxPool2d):
+                feats.append(h)
+            h = layer(h)
+        return feats
+
+
 __all__ = [
     "UNet2DConditionModel",
     "AutoencoderKL",
     "DiagonalGaussianDistribution",
+    "VGG19Features",
     "timestep_embedding",
 ]

@@ -45,6 +45,9 @@ class Stage1Config:
     adaptive_weight_max: float = 1e4
     scaling_factor: float = 0.18215
     use_ema: bool = False
+    # timm transform resolution for the perceptual backbone (reference
+    # resolves it from the timm cfg, 224 for vgg19 — train_vqgan_lora.py:857)
+    vgg_resolution: int = 224
 
 
 @jax.tree_util.register_pytree_node_class
@@ -84,8 +87,14 @@ def _set_conv_out(vae_params, conv_out):
 
 
 def effective_vae_params(config: Stage1Config, vae_params, trainables):
-    merged = merge_lora(vae_params, trainables["lora"], config.lora.scale)
-    return _set_conv_out(merged, trainables["conv_out"])
+    """Trainable base conv_out FIRST, then LoRA on top: the reference PEFT
+    model keeps conv_out's LoRA adapter active *and* unfreezes its base
+    weight (train_vqgan_lora.py:809-822 — conv_out is in target_modules and
+    then requires_grad_(True)), so the effective kernel is
+    ``trainable_base + scale·(a@b)``. Merging after the swap keeps the
+    conv_out LoRA factors in the gradient path."""
+    base = _set_conv_out(vae_params, trainables["conv_out"])
+    return merge_lora(base, trainables["lora"], config.lora.scale)
 
 
 def init_trainables(key: Array, vae_params, config: Stage1Config):
@@ -100,11 +109,21 @@ def init_trainables(key: Array, vae_params, config: Stage1Config):
     }
 
 
-def gm_forward(config: Stage1Config, vae, params, miss_pixels: Array, key: Array):
+def gm_forward(
+    config: Stage1Config,
+    vae,
+    params,
+    miss_pixels: Array,
+    key: Array,
+    eps: Optional[Array] = None,
+):
     """sigmoid(decode(encode(x).sample()·s / s)) — the reference's GM head
-    (train_vqgan_lora.py:1121-1123). ``miss_pixels`` in [-1, 1] NCHW."""
+    (train_vqgan_lora.py:1121-1123). ``miss_pixels`` in [-1, 1] NCHW.
+    ``eps`` overrides the posterior-sampling draw (parity harnesses feed the
+    torch-generated eps so both sides see identical latents)."""
     post = vae.apply({"params": params}, miss_pixels, method=vae.encode)
-    latent = post.sample(key) * config.scaling_factor
+    sampled = post.sample(key) if eps is None else post.mean + post.std * eps
+    latent = sampled * config.scaling_factor
     decoded = vae.apply(
         {"params": params}, latent / config.scaling_factor, method=vae.decode
     )
@@ -118,11 +137,13 @@ def reconstruct_and_tonemap(
     return gamut_compress(tmo_fn(hdr, qmax=config.qmax))
 
 
-def perceptual(vgg, vgg_params, a01: Array, b01: Array) -> Array:
+def perceptual(
+    vgg, vgg_params, a01: Array, b01: Array, resolution: int = 224
+) -> Array:
     """VGG19 feature-pyramid MSE, mean over levels (reference helper
     :113-129): resize to the backbone resolution + imagenet normalize."""
-    fa = vgg.apply({"params": vgg_params}, resize_for_vgg(a01))
-    fb = vgg.apply({"params": vgg_params}, resize_for_vgg(b01))
+    fa = vgg.apply({"params": vgg_params}, resize_for_vgg(a01, resolution))
+    fb = vgg.apply({"params": vgg_params}, resize_for_vgg(b01, resolution))
     return vgg_feature_mse(fa, fb)
 
 
@@ -152,13 +173,18 @@ def make_gen_step(
 
         def losses(trainables):
             params = effective_vae_params(config, frozen["vae"], trainables)
-            gm = gm_forward(config, vae, params, miss, key)
+            gm = gm_forward(
+                config, vae, params, miss, key, eps=batch.get("encode_eps")
+            )
             tmo = reconstruct_and_tonemap(config, gm, sdr01, tmo_fn)
             if config.vae_loss == "l2":
                 recon = jnp.mean((target01 - tmo) ** 2)
             else:
                 recon = jnp.mean(jnp.abs(target01 - tmo))
-            perc = perceptual(vgg, frozen["vgg"], target01, tmo)
+            perc = perceptual(
+                vgg, frozen["vgg"], target01, tmo,
+                resolution=config.vgg_resolution,
+            )
             adv = -jnp.mean(disc_apply(state.disc_params, state.disc_vars, tmo))
             return recon, perc, adv
 
@@ -252,7 +278,9 @@ def make_disc_step(
 
         # Fake images from the current generator, detached (:1197).
         params = effective_vae_params(config, frozen["vae"], state.trainables)
-        gm = gm_forward(config, vae, params, miss, key)
+        gm = gm_forward(
+            config, vae, params, miss, key, eps=batch.get("encode_eps")
+        )
         fake = jax.lax.stop_gradient(
             reconstruct_and_tonemap(config, gm, sdr01, tmo_fn)
         )
@@ -304,7 +332,11 @@ def make_disc_step(
             disc_opt_state=disc_opt_state,
             step=state.step + 1,
         )
-        metrics = {"disc_loss": loss, **parts}
+        metrics = {
+            "disc_loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            **parts,
+        }
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
