@@ -323,17 +323,87 @@ class Downsample2D(nn.Module):
         )(x)
 
 
+def _subpixel_phase_kernels(w: Array) -> Array:
+    """Fold a 3x3 kernel into the four 2x2 phase kernels of the
+    nearest-2x-then-conv3x3 composition.
+
+    For output row 2i+p the conv taps hit source rows floor((2i+p+a-1)/2):
+    p=0 reads {i-1 (w0), i (w1+w2)}, p=1 reads {i (w0+w1), i+1 (w2)} — and
+    likewise per column. Tap-combination matrices M0/M1 encode those sums;
+    the phase kernel is M_p w M_q^T per (in, out) channel pair. Combined in
+    fp32 so weight addition doesn't lose bf16 bits."""
+    m0 = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]], jnp.float32)
+    m1 = jnp.array([[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]], jnp.float32)
+    w32 = w.astype(jnp.float32)
+    return jnp.concatenate(
+        [
+            jnp.einsum("da,eb,abio->deio", mp, mq, w32)
+            for mp in (m0, m1)
+            for mq in (m0, m1)
+        ],
+        axis=-1,
+    )  # (2, 2, C, 4*O), phase order (p, q) = 00, 01, 10, 11
+
+
+class _Conv3x3Params(nn.Module):
+    """Bare 3x3-conv parameters in nn.Conv's exact tree/init (kernel HWIO +
+    bias), for paths that consume the weights without calling nn.Conv."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, in_ch, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
 class Upsample2D(nn.Module):
-    """Nearest 2x upsample + 3x3 conv."""
+    """Nearest 2x upsample + 3x3 conv.
+
+    Default path computes the mathematically identical sub-pixel form: one
+    2x2 conv over the LOW-res input producing the four output phases
+    (interleaved back with a depth-to-space), instead of materializing the
+    2x-upsampled tensor and convolving 3x3 over it. 16 low-res taps replace
+    36 low-res-equivalent taps (2.25x fewer MACs) and the conv input is 4x
+    smaller — profiling showed the naive lowering ran at ~10% MXU roofline
+    (BENCHNOTES.md round 2). ``GMDX_SUBPIXEL_UPSAMPLE=0`` restores the
+    naive composition (same params, same math)."""
 
     channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        import os
+
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        if os.environ.get("GMDX_SUBPIXEL_UPSAMPLE", "1") == "0":
+            x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+            return nn.Conv(
+                self.channels, (3, 3), padding=1, dtype=self.dtype, name="conv"
+            )(x)
+
+        kernel, bias = _Conv3x3Params(self.channels, name="conv")(c)
+        o = self.channels
+        pk = _subpixel_phase_kernels(kernel).astype(self.dtype)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(self.dtype)
+        z = jax.lax.conv_general_dilated(
+            xp, pk, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, H+1, W+1, 4*O)
+        z = z + jnp.tile(bias, 4).astype(z.dtype)
+        phases = [
+            z[:, p : p + h, q : q + w, (2 * p + q) * o : (2 * p + q + 1) * o]
+            for p in (0, 1)
+            for q in (0, 1)
+        ]
+        y = jnp.stack(phases, axis=3).reshape(b, h, w, 2, 2, o)
+        return jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(b, 2 * h, 2 * w, o)
 
 
 class VAEAttention(nn.Module):

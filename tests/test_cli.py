@@ -121,6 +121,41 @@ class TestStage2CLI:
         ).read().strip().splitlines()
         assert any("train_loss" in l for l in lines)
 
+    def test_resume_from_checkpoint(self, workdir):
+        """--resume_from_checkpoint latest restarts from the saved orbax
+        state and continues to the new max step (reference semantics:
+        train_gm_unet.py:1105-1131 "latest" = max step-suffix scan)."""
+        root, meta, _ = workdir
+        out = str(root / "s2out_resume")
+        base_args = [
+            "--pretrained_model_name_or_path", str(root / "pipe"),
+            "--train_metadata", meta,
+            "--output_dir", out,
+            "--resolution", "64",
+            "--train_batch_size", "1",
+            "--checkpointing_steps", "2",
+            "--learning_rate", "1e-4",
+            "--seed", "0",
+        ]
+        r = run_script(
+            "scripts/stage2/train_gm_unet.py",
+            base_args + ["--max_train_steps", "2"],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert os.path.isdir(os.path.join(out, "checkpoint_2"))
+
+        r = run_script(
+            "scripts/stage2/train_gm_unet.py",
+            base_args + [
+                "--max_train_steps", "4",
+                "--resume_from_checkpoint", "latest",
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "resumed from checkpoint step 2" in r.stderr
+        assert os.path.isdir(os.path.join(out, "checkpoint_4"))
+        assert os.path.isdir(os.path.join(out, "save_pipeline", "unet"))
+
     def test_dead_flags_rejected(self, workdir):
         root, meta, _ = workdir
         r = run_script(

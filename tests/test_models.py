@@ -41,6 +41,31 @@ class TestTimestepEmbedding:
         assert (d > 1e-3).all()
 
 
+class TestUpsample2D:
+    def test_subpixel_matches_naive_composition(self, monkeypatch):
+        """The default sub-pixel path (one 2x2 conv on the low-res input +
+        depth-to-space) must equal nearest-2x-then-conv3x3 exactly — same
+        params, same math, 2.25x fewer MACs (BENCHNOTES.md round 2)."""
+        from gmdx.models.layers import Upsample2D
+
+        x = jax.random.normal(jax.random.key(0), (2, 7, 5, 12))
+        m = Upsample2D(10)
+        monkeypatch.setenv("GMDX_SUBPIXEL_UPSAMPLE", "0")
+        params = m.init(jax.random.key(1), x)
+        y_naive = m.apply(params, x)
+        monkeypatch.setenv("GMDX_SUBPIXEL_UPSAMPLE", "1")
+        # identical param tree (converter/checkpoint layout is unchanged)
+        params_sub = m.init(jax.random.key(1), x)
+        assert jax.tree_util.tree_structure(params) == (
+            jax.tree_util.tree_structure(params_sub)
+        )
+        y_sub = m.apply(params, x)
+        assert y_sub.shape == (2, 14, 10, 10)
+        np.testing.assert_allclose(
+            np.asarray(y_sub), np.asarray(y_naive), atol=1e-5
+        )
+
+
 class TestUNet:
     @pytest.fixture(scope="class")
     def unet(self):
