@@ -200,9 +200,21 @@ def build_unet_grad(batch: int, res: int, dtype):
     return fn, (params, x, t, ctx, tgt)
 
 
+def build_dual_scan(batch: int, res: int, dtype):
+    """The exact driver benchmark graph (bench.py): 50-step NHWC dual-UNet
+    scan + batched decode — the real scan-path op mix, unlike dual_step's
+    single NCHW step."""
+    os.environ["GMDX_BENCH_BATCH"] = str(batch)
+    os.environ["GMDX_BENCH_RES"] = str(res)
+    import bench
+
+    return bench.build()
+
+
 WORKLOADS = {
     "gm_unet_fwd": build_gm_unet_fwd,
     "dual_step": build_dual_step,
+    "dual_scan": build_dual_scan,
     "vae_decode": build_vae_decode,
     "train_step": build_train_step,
     "unet_grad": build_unet_grad,

@@ -310,6 +310,49 @@ class TestStage1CLI:
         assert os.path.exists(os.path.join(val, "evaluation_log.txt"))
 
 
+class TestStage1Resume:
+    def test_resume_from_checkpoint(self, workdir):
+        """--resume_from_checkpoint latest restores the full GAN state
+        (LoRA trainables, discriminator, both optimizer states) and
+        continues to the new max step — mirrors the stage-2 resume test
+        for the alternating-trainer path (reference semantics:
+        train_vqgan_lora.py:1048-1075)."""
+        root, meta, _ = workdir
+        out = str(root / "s1out_resume")
+        base_args = [
+            "--pretrained_model_name_or_path", str(root / "pipe"),
+            "--train_metadata", meta,
+            "--output_dir", out,
+            "--resolution", "64",
+            "--train_batch_size", "1",
+            "--checkpointing_steps", "2",
+            "--rank", "2",
+            "--seed", "0",
+        ]
+        r = run_script(
+            "scripts/stage1/train_vqgan_lora.py",
+            base_args + ["--max_train_steps", "2"],
+            timeout=1200,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert os.path.isdir(os.path.join(out, "checkpoint_2"))
+
+        r = run_script(
+            "scripts/stage1/train_vqgan_lora.py",
+            base_args + [
+                "--max_train_steps", "4",
+                "--resume_from_checkpoint", "latest",
+            ],
+            timeout=1200,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "resumed from checkpoint step 2" in r.stderr
+        assert os.path.isdir(os.path.join(out, "checkpoint_4"))
+        # Final artifacts still written after a resumed run.
+        assert os.path.isdir(os.path.join(out, "finetuned_VAE", "vae"))
+        assert os.path.isdir(os.path.join(out, "discriminator"))
+
+
 class TestStage1FSDP:
     def test_fsdp_shard_strategy(self, workdir):
         """Stage-1 trainer over the virtual mesh with generator trainables,
