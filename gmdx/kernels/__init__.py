@@ -7,5 +7,6 @@ the GMDX_NO_PALLAS env var to force the XLA path).
 
 from gmdx.kernels.attention import dot_product_attention
 from gmdx.kernels.flash_attention import flash_attention
+from gmdx.kernels.geglu_ff import geglu_ff
 
-__all__ = ["dot_product_attention", "flash_attention"]
+__all__ = ["dot_product_attention", "flash_attention", "geglu_ff"]

@@ -67,4 +67,48 @@ def dot_product_attention(
     return _xla_attention(q, k, v, scale)
 
 
-__all__ = ["dot_product_attention"]
+def attention_packed(
+    q: Array,
+    k: Array,
+    v: Array,
+    heads: int,
+    *,
+    scale: float | None = None,
+) -> Array:
+    """Attention over head-packed (B, S, H*D) operands — the layout the
+    q/k/v projections produce and the output projection consumes.
+
+    On TPU, long-K shapes take the head-packed Pallas kernel
+    (flash_attention_bsc), which needs NO per-operand (B,S,H,D)->(BH,S,D)
+    transpose — those transposes were ~6.7% of the dual denoise step as
+    "data formatting" HBM traffic (BENCHNOTES.md round 2). Everything else
+    falls back to the (B, S, H, D) dispatch above.
+    """
+    d = q.shape[-1] // heads
+    if scale is None:
+        scale = d**-0.5
+    use_pallas = (
+        os.environ.get("GMDX_NO_PALLAS", "0") != "1"
+        and os.environ.get("GMDX_PACKED_ATTN", "1") == "1"
+        and jax.default_backend() == "tpu"
+        and k.shape[1] >= 1024
+        and d <= 160
+    )
+    if use_pallas:
+        from gmdx.kernels.flash_attention import flash_attention_bsc
+
+        out = flash_attention_bsc(q, k, v, heads, scale=scale)
+        if out is not None:
+            return out
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    out = dot_product_attention(
+        q.reshape(b, sq, heads, d),
+        k.reshape(b, sk, heads, d),
+        v.reshape(b, sk, heads, d),
+        scale=scale,
+    )
+    return out.reshape(b, sq, c)
+
+
+__all__ = ["dot_product_attention", "attention_packed"]

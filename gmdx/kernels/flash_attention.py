@@ -450,6 +450,238 @@ def _flash_backward(
     return dq, dk, dv
 
 
+def _flash_bsc_kernel(
+    sk_ref,  # SMEM (1,): true (unpadded) key length
+    q_ref,  # VMEM (1, blk_q, C) — pre-scaled by sm_scale*log2(e)
+    k_ref,  # VMEM (1, blk_k, C)
+    v_ref,  # VMEM (1, blk_k, C)
+    o_ref,  # VMEM (1, blk_q, C)
+    m_scr,  # VMEM (H, blk_q, 128) per-head running row max
+    l_scr,  # VMEM (H, blk_q, 128) per-head running row sum
+    acc_scr,  # VMEM (H, blk_q, D) fp32 per-head accumulator
+    *,
+    blk_k: int,
+    heads: int,
+    head_dim: int,
+    needs_mask: bool,
+):
+    """Head-packed flash forward: operands stay in the (tokens, H*D) layout
+    the q/k/v projections produce, heads are static lane slices in-kernel.
+
+    Rationale: the flattened-layout kernel needs a (B, S, H, D) ->
+    (B*H, S, D) XLA transpose per operand per call, and those transposes
+    are ~6.7% of the dual denoise step as standalone "data formatting" HBM
+    round-trips (device trace, BENCHNOTES.md round 2). Lane-slicing the
+    head axis inside the kernel replaces each HBM transpose with VPU
+    shuffles on VMEM-resident blocks, amortized against the same matmuls.
+    The slices are static (python-unrolled head loop), which Mosaic lowers
+    without touching HBM.
+    """
+    kidx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kidx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    col = None
+    if needs_mask:
+        col = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (q.shape[0], blk_k), 1
+            )
+            + kidx * blk_k
+        )
+
+    d = head_dim
+    for h in range(heads):
+        qh = jax.lax.slice_in_dim(q, h * d, (h + 1) * d, axis=1)
+        kh = jax.lax.slice_in_dim(k, h * d, (h + 1) * d, axis=1)
+        s = jax.lax.dot_general(
+            qh,
+            kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if needs_mask:
+            s = jnp.where(col < sk_ref[0], s, _NEG_INF)
+
+        m_prev = m_scr[h, :, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp2(s - m_new)
+        corr = jnp.exp2(m_prev - m_new)
+
+        l_scr[h] = jnp.broadcast_to(
+            corr * l_scr[h, :, :1] + jnp.sum(p, axis=-1, keepdims=True),
+            l_scr.shape[1:],
+        )
+        m_scr[h] = jnp.broadcast_to(m_new, m_scr.shape[1:])
+        acc_scr[h] = corr * acc_scr[h] + jax.lax.dot_general(
+            p.astype(v.dtype),
+            jax.lax.slice_in_dim(v, h * d, (h + 1) * d, axis=1),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kidx == nk - 1)
+    def _finish():
+        o_ref[0] = jnp.concatenate(
+            [acc_scr[h] / l_scr[h, :, :1] for h in range(heads)], axis=-1
+        ).astype(o_ref.dtype)
+
+
+def _flash_forward_bsc(
+    q: Array,
+    k: Array,
+    v: Array,
+    heads: int,
+    scale: float,
+    interpret: bool = False,
+) -> Array:
+    """Inference forward over (B, S, H*D) operands; no LSE emitted."""
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    d = c // heads
+    dtype = q.dtype
+
+    # blk_q 512 (not the flattened kernel's 1024): the per-head m/l/acc
+    # scratch is H-times replicated, 1024-row blocks would put the scratch
+    # alone at ~10 MB of the ~16 MB VMEM.
+    blk_q = min(_env_block("GMDX_FLASH_BLKQ_BSC", 512), _round_up(sq, 128))
+    cap_k = 2048 if (d <= 160 and dtype.itemsize <= 2 and c <= 512) else 1024
+    blk_k = min(_env_block("GMDX_FLASH_BLKK_BSC", cap_k), _round_up(sk, 128))
+    sq_p = _round_up(sq, blk_q)
+    sk_p = _round_up(sk, blk_k)
+
+    qp = (q.astype(jnp.float32) * (scale * _LOG2_E)).astype(dtype)
+    if sq_p != sq:
+        qp = jnp.pad(qp, ((0, 0), (0, sq_p - sq), (0, 0)))
+    kp, vp = k, v
+    if sk_p != sk:
+        kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
+    sk_arr = jnp.array([sk], jnp.int32)
+    needs_mask = sk_p != sk
+
+    grid = (b, sq_p // blk_q, sk_p // blk_k)
+    (out,) = pl.pallas_call(
+        functools.partial(
+            _flash_bsc_kernel,
+            blk_k=blk_k,
+            heads=heads,
+            head_dim=d,
+            needs_mask=needs_mask,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, blk_q, c), lambda b, i, j, sk: (b, i, 0)),
+                pl.BlockSpec((1, blk_k, c), lambda b, i, j, sk: (b, j, 0)),
+                pl.BlockSpec((1, blk_k, c), lambda b, i, j, sk: (b, j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, blk_q, c), lambda b, i, j, sk: (b, i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((heads, blk_q, 128), jnp.float32),
+                pltpu.VMEM((heads, blk_q, 128), jnp.float32),
+                pltpu.VMEM((heads, blk_q, d), jnp.float32),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, sq_p, c), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # The python-unrolled head loop keeps all H per-head score
+            # buffers live (Mosaic schedules the independent head matmuls
+            # together): H=8 fp32 (512, 2048) blocks = 32 MB of stack, past
+            # the 16 MB default scoped limit but well within the physical
+            # VMEM. Raising the cap preserves the wide k-blocks that the
+            # block sweep showed dominate flash throughput (BENCHNOTES.md).
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * sq_p * sk_p * d,
+            bytes_accessed=2 * b * (sq_p + 2 * sk_p) * c * dtype.itemsize,
+            transcendentals=b * heads * sq_p * sk_p,
+        ),
+        interpret=interpret,
+    )(sk_arr, qp, kp, vp)
+    return out[:, :sq] if sq_p != sq else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_bsc(
+    q: Array, k: Array, v: Array, heads: int, scale: float,
+    interpret: bool = False,
+) -> Array:
+    # Primal (inference) path: head-packed kernel, no transposes, no LSE.
+    return _flash_forward_bsc(q, k, v, heads, scale, interpret)
+
+
+def _bsc_to_bshd(x: Array, heads: int) -> Array:
+    b, s, c = x.shape
+    return x.reshape(b, s, heads, c // heads)
+
+
+def _flash_bsc_vjp_fwd(q, k, v, heads, scale, interpret):
+    # Differentiated path: reuse the flattened-layout forward (it emits the
+    # LSE residual the backward kernels need) — training numerics and cost
+    # are identical to the (B, S, H, D) entry point.
+    out4, res = _flash_fwd(
+        _bsc_to_bshd(q, heads), _bsc_to_bshd(k, heads),
+        _bsc_to_bshd(v, heads), scale, interpret,
+    )
+    b, s, _, _ = out4.shape
+    return out4.reshape(b, s, -1), res
+
+
+def _flash_bsc_vjp_bwd(heads, scale, interpret, res, g):
+    dq4, dk4, dv4 = _flash_bwd(scale, interpret, res, _bsc_to_bshd(g, heads))
+    return tuple(x.reshape(x.shape[0], x.shape[1], -1) for x in (dq4, dk4, dv4))
+
+
+_flash_bsc.defvjp(_flash_bsc_vjp_fwd, _flash_bsc_vjp_bwd)
+
+
+def flash_attention_bsc(
+    q: Array,
+    k: Array,
+    v: Array,
+    heads: int,
+    *,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> Array | None:
+    """Flash attention over head-packed (B, S, H*D) operands.
+
+    Same math as :func:`flash_attention`; the head axis never leaves the
+    packed lane layout on the forward pass, so the projections' outputs
+    feed the kernel with zero XLA transposes. Returns None if unsupported
+    (dispatcher falls back). Differentiation routes through the flattened
+    kernels, so training behavior matches :func:`flash_attention` exactly.
+    """
+    if q.ndim != 3 or k.ndim != 3 or v.ndim != 3:
+        return None
+    if q.shape[-1] % heads or k.shape[-1] != q.shape[-1]:
+        return None
+    d = q.shape[-1] // heads
+    if d % 8:  # lane slices must stay sublane-aligned after relayout
+        return None
+    if jax.default_backend() != "tpu" and not interpret:
+        return None
+    if scale is None:
+        scale = d**-0.5
+    return _flash_bsc(q, k, v, heads, scale, interpret)
+
+
 def _xla_flat(q, k, v, scale):
     logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale
     w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)

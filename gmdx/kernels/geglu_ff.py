@@ -1,0 +1,237 @@
+"""Fused GEGLU feed-forward as a Pallas TPU kernel.
+
+The transformer FF (LN -> proj_in -> GEGLU -> proj_out -> +residual,
+BasicTransformerBlock in gmdx/models/layers.py) is HBM-bound under XLA at
+SD-1.5's hot shapes: proj_in writes the (tokens, 8*dim) projection to HBM
+(336 MB at 512^2 CFG batch 16), the GEGLU loop fusion reads it back and
+writes the (tokens, 4*dim) product, and proj_out reads that again — a
+device trace of the dual denoise step put the proj_out fusions alone at
+1.4 ms/layer, flagged [HBM] (BENCHNOTES.md round 2). This kernel keeps the
+whole chain in VMEM: one grid pass over token blocks with both weight
+matrices resident, so HBM traffic drops to read-x + read-residual +
+write-out.
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+  * Grid (token_blocks,): x is flattened to (N, C). Weights use constant
+    index maps, so Mosaic fetches them once and keeps them in VMEM across
+    the sequential grid steps.
+  * proj_in's kernel/bias are pre-split OUTSIDE the kernel into the hidden
+    and gate halves (diffusers GEGLU column order: [hidden | gate]) — lane
+    slicing inside the kernel would need 128-aligned offsets anyway, and
+    the outside split is a one-time, fusible copy of <7 MB.
+  * fp32 accumulation for both matmuls; the GEGLU product is computed in
+    fp32 and cast to the compute dtype only for the second matmul.
+  * Exact (erf) GELU, matching the jnp path and torch F.gelu's default —
+    parity with diffusers is bit-for-bit in the math, not an approximation.
+  * VMEM budget (~16 MB/core) caps the resident-weight design at dim 640:
+    dim 320 -> w1 1.6 MB + w2 0.8 MB; dim 640 -> 6.6 + 3.3 MB (block 128
+    rows keeps the fp32 intermediates ~1.3 MB each). The UNet's 1280-wide
+    blocks (256/64-token grids, where XLA's fusions are compute-bound and
+    the intermediates are small) fall back to the jnp path.
+  * Training: custom VJP whose backward recomputes the FF through the jnp
+    reference — same FLOPs as XLA's own VJP, and the forward stays fused.
+
+Replaces nothing in the reference (its FF runs through torch/cuBLAS); this
+is TPU-native performance work on the same math
+(gm_diffusion/pipelines/stable_diffusion_gm.py UNet -> diffusers GEGLU).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_SQRT_2 = math.sqrt(2.0)
+
+# dim -> token block. 512 rows at dim 320 (~11.6 MB incl. weights), 128 at
+# dim 640 (~14 MB). Dims absent here dispatch to the jnp fallback.
+_TOKEN_BLOCK = {320: 512, 640: 128}
+
+
+def _erf_f32(x: Array) -> Array:
+    """erf via Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7 — below
+    bf16 resolution): Mosaic has no erf primitive, but exp lowers natively
+    to the VPU."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu_exact(x: Array) -> Array:
+    return 0.5 * x * (1.0 + _erf_f32(x / _SQRT_2))
+
+
+def _ff_kernel(
+    x_ref,  # VMEM (blk, C)
+    res_ref,  # VMEM (blk, C)
+    w1h_ref,  # VMEM (C, I) hidden half of proj_in
+    w1g_ref,  # VMEM (C, I) gate half
+    b1h_ref,  # VMEM (1, I)
+    b1g_ref,  # VMEM (1, I)
+    w2_ref,  # VMEM (I, C)
+    b2_ref,  # VMEM (1, C)
+    o_ref,  # VMEM (blk, C)
+):
+    x = x_ref[...]
+    hidden = (
+        jax.lax.dot_general(
+            x, w1h_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b1h_ref[...]
+    )
+    gate = (
+        jax.lax.dot_general(
+            x, w1g_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b1g_ref[...]
+    )
+    act = (hidden * _gelu_exact(gate)).astype(x.dtype)
+    out = (
+        jax.lax.dot_general(
+            act, w2_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b2_ref[...]
+    )
+    o_ref[...] = (res_ref[...].astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
+def _ff_reference(x, residual, w1, b1, w2, b2):
+    """jnp reference: LN already applied by the caller; diffusers GEGLU."""
+    proj = (
+        jax.lax.dot_general(
+            x, w1.astype(x.dtype),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        )
+        + b1.astype(x.dtype)
+    )
+    hidden, gate = jnp.split(proj, 2, axis=-1)
+    act = hidden * jax.nn.gelu(gate, approximate=False)
+    out = (
+        jax.lax.dot_general(
+            act, w2.astype(x.dtype),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        )
+        + b2.astype(x.dtype)
+    )
+    return residual + out
+
+
+def _ff_pallas(x, residual, w1, b1, w2, b2, interpret):
+    n, c = x.shape
+    inner = w2.shape[0]
+    blk = _TOKEN_BLOCK[c]
+    n_pad = (n + blk - 1) // blk * blk
+    if n_pad != n:
+        pad = ((0, n_pad - n), (0, 0))
+        x = jnp.pad(x, pad)
+        residual = jnp.pad(residual, pad)
+
+    dtype = x.dtype
+    w1h = w1[:, :inner].astype(dtype)
+    w1g = w1[:, inner:].astype(dtype)
+    b1h = b1[:inner].astype(jnp.float32).reshape(1, inner)
+    b1g = b1[inner:].astype(jnp.float32).reshape(1, inner)
+    w2c = w2.astype(dtype)
+    b2c = b2.astype(jnp.float32).reshape(1, c)
+
+    tok_spec = pl.BlockSpec((blk, c), lambda i: (i, 0))
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
+    out = pl.pallas_call(
+        _ff_kernel,
+        grid=(n_pad // blk,),
+        in_specs=[
+            tok_spec,
+            tok_spec,
+            const((c, inner)),
+            const((c, inner)),
+            const((1, inner)),
+            const((1, inner)),
+            const((inner, c)),
+            const((1, c)),
+        ],
+        out_specs=tok_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), dtype),
+        interpret=interpret,
+    )(x, residual, w1h, w1g, b1h, b1g, w2c, b2c)
+    return out[:n] if n_pad != n else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _ff_fused(x, residual, w1, b1, w2, b2, interpret=False):
+    b, s, c = x.shape
+    out = _ff_pallas(
+        x.reshape(b * s, c), residual.reshape(b * s, c),
+        w1, b1, w2, b2, interpret,
+    )
+    return out.reshape(b, s, c)
+
+
+def _ff_fwd(x, residual, w1, b1, w2, b2, interpret):
+    return _ff_fused(x, residual, w1, b1, w2, b2, interpret), (
+        x, w1, b1, w2, b2,
+    )
+
+
+def _ff_bwd(interpret, res, g):
+    x, w1, b1, w2, b2 = res
+    # Recompute through the jnp reference — the FF output was never kept.
+    _, vjp = jax.vjp(
+        lambda x_, w1_, b1_, w2_, b2_: _ff_reference(
+            x_, jnp.zeros((), x_.dtype), w1_, b1_, w2_, b2_
+        ),
+        x, w1, b1, w2, b2,
+    )
+    dx, dw1, db1, dw2, db2 = vjp(g)
+    return dx, g, dw1, db1, dw2, db2
+
+
+_ff_fused.defvjp(_ff_fwd, _ff_bwd)
+
+
+def geglu_ff(
+    x: Array,
+    residual: Array,
+    w1: Array,
+    b1: Array,
+    w2: Array,
+    b2: Array,
+    *,
+    interpret: bool = False,
+) -> Array:
+    """residual + proj_out(geglu(proj_in(x))) over (B, S, C) sequences.
+
+    Dispatches to the fused Pallas kernel on TPU for the dims with a
+    resident-weight VMEM budget (320/640); jnp otherwise.
+    ``GMDX_FUSED_FF=0`` disables the kernel globally.
+    """
+    c = x.shape[-1]
+    use_pallas = (
+        os.environ.get("GMDX_FUSED_FF", "1") == "1"
+        and c in _TOKEN_BLOCK
+        and w1.shape[1] % 256 == 0  # even split into 128-aligned halves
+        and (interpret or jax.default_backend() == "tpu")
+    )
+    if use_pallas:
+        return _ff_fused(x, residual, w1, b1, w2, b2, interpret)
+    return _ff_reference(x, residual, w1, b1, w2, b2)
+
+
+__all__ = ["geglu_ff"]

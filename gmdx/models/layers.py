@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from gmdx.kernels import dot_product_attention
+from gmdx.kernels.attention import attention_packed
 
 Array = jax.Array
 
@@ -190,35 +191,70 @@ class Attention(nn.Module):
             else:
                 k, v = context @ wk, context @ wv
 
-        b, sq, _ = q.shape
-        sk = k.shape[1]
-        q = q.reshape(b, sq, self.heads, self.head_dim)
-        k = k.reshape(b, sk, self.heads, self.head_dim)
-        v = v.reshape(b, sk, self.heads, self.head_dim)
-
-        out = dot_product_attention(q, k, v)
-        out = out.reshape(b, sq, inner)
+        # Head-packed dispatch: q/k/v stay (B, S, H*D) end to end — on the
+        # TPU fast path the head axis is sliced inside the Pallas kernel
+        # instead of via XLA transposes (gmdx/kernels/attention.py).
+        out = attention_packed(q, k, v, self.heads)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
 
+class _DenseParams(nn.Module):
+    """Kernel+bias holder keeping the nn.Dense tree layout
+    (``<name>/kernel|bias``) so checkpoints are unchanged."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel",
+                nn.initializers.lecun_normal(),
+                (self.in_dim, self.out_dim),
+            ),
+            self.param("bias", nn.initializers.zeros, (self.out_dim,)),
+        )
+
+
 class GEGLUFeedForward(nn.Module):
-    """GEGLU MLP: Dense -> split -> x * gelu(gate) -> Dense (mult=4)."""
+    """GEGLU MLP: Dense -> split -> x * gelu(gate) -> Dense (mult=4).
+
+    ``residual`` folds the transformer block's skip connection into the FF:
+    on TPU the whole chain (both matmuls, the GEGLU product, and the
+    residual add) runs as one Pallas kernel with the weights resident in
+    VMEM (gmdx/kernels/geglu_ff.py) — under XLA the (tokens, 8*dim)
+    projection round-trips HBM three times and the proj_out fusions profile
+    HBM-bound (BENCHNOTES.md round 2).
+
+    exact (erf) gelu: diffusers' GEGLU uses torch F.gelu's default erf
+    form; the tanh approximation would cost ~1e-3 of systematic error
+    per block in cross-framework parity for zero TPU speedup.
+    """
 
     dim: int
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, residual: Optional[Array] = None) -> Array:
         inner = self.dim * self.mult
-        proj = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
-        hidden, gate = jnp.split(proj, 2, axis=-1)
-        # exact (erf) gelu: diffusers' GEGLU uses torch F.gelu's default erf
-        # form; the tanh approximation would cost ~1e-3 of systematic error
-        # per block in cross-framework parity for zero TPU speedup (both are
-        # fused VPU elementwise chains).
-        x = hidden * nn.gelu(gate, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(x)
+        w1, b1 = _DenseParams(self.dim, inner * 2, name="proj_in")()
+        w2, b2 = _DenseParams(inner, self.dim, name="proj_out")()
+
+        from gmdx.kernels.geglu_ff import geglu_ff
+
+        res = residual if residual is not None else jnp.zeros((), x.dtype)
+        res = jnp.broadcast_to(res.astype(x.dtype), x.shape)
+        out = geglu_ff(
+            x,
+            res,
+            w1.astype(self.dtype),
+            b1.astype(self.dtype),
+            w2.astype(self.dtype),
+            b2.astype(self.dtype),
+        )
+        return out
 
 
 class BasicTransformerBlock(nn.Module):
@@ -246,7 +282,9 @@ class BasicTransformerBlock(nn.Module):
             name="attn2",
         )(h, context)
         h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
-        return x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(
+            h, residual=x
+        )
 
 
 class Transformer2D(nn.Module):

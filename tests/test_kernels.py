@@ -248,3 +248,128 @@ class TestGroupNormPallasBackward:
             np.asarray(vjp(g)[0]), np.asarray(vjp_r(g)[0]),
             rtol=1e-4, atol=1e-4,
         )
+
+
+class TestFusedGEGLUFF:
+    """gmdx/kernels/geglu_ff.py vs the jnp reference, interpreter mode."""
+
+    def _make(self, key, n, c, mult=4, dtype=jnp.float32):
+        ks = jax.random.split(key, 6)
+        inner = c * mult
+        x = jax.random.normal(ks[0], (2, n, c), dtype)
+        res = jax.random.normal(ks[1], (2, n, c), dtype)
+        w1 = jax.random.normal(ks[2], (c, inner * 2), dtype) * c**-0.5
+        b1 = jax.random.normal(ks[3], (inner * 2,), dtype) * 0.1
+        w2 = jax.random.normal(ks[4], (inner, c), dtype) * inner**-0.5
+        b2 = jax.random.normal(ks[5], (c,), dtype) * 0.1
+        return x, res, w1, b1, w2, b2
+
+    def test_matches_reference_dim320(self):
+        from gmdx.kernels.geglu_ff import _ff_fused, _ff_reference
+
+        args = self._make(jax.random.key(0), 300, 320)  # 300: pad path
+        out = _ff_fused(*args, interpret=True)
+        ref = _ff_reference(args[0], args[1], *args[2:])
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_matches_reference_dim640_bf16(self):
+        from gmdx.kernels.geglu_ff import _ff_fused, _ff_reference
+
+        args = self._make(jax.random.key(1), 128, 640, dtype=jnp.bfloat16)
+        out = _ff_fused(*args, interpret=True)
+        # fp32 reference; bf16 kernel accumulates in fp32
+        ref = _ff_reference(
+            args[0].astype(jnp.float32), args[1].astype(jnp.float32),
+            *[a.astype(jnp.float32) for a in args[2:]],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, dtype=np.float32), np.asarray(ref),
+            rtol=3e-2, atol=3e-2,
+        )
+
+    def test_grads_match_reference(self):
+        from gmdx.kernels.geglu_ff import _ff_fused, _ff_reference
+
+        args = self._make(jax.random.key(2), 128, 320)
+        g = jax.random.normal(jax.random.key(3), args[0].shape)
+
+        _, vjp_p = jax.vjp(
+            lambda *a: _ff_fused(*a, interpret=True), *args
+        )
+        _, vjp_r = jax.vjp(_ff_reference, *args)
+        names = ("dx", "dres", "dw1", "db1", "dw2", "db2")
+        for got, want, name in zip(vjp_p(g), vjp_r(g), names):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
+                err_msg=name,
+            )
+
+    def test_dispatch_fallback_unsupported_dim(self):
+        """dim 1280 (no VMEM budget) must take the jnp path, not error."""
+        from gmdx.kernels.geglu_ff import geglu_ff
+
+        c = 1280
+        x = jax.random.normal(jax.random.key(0), (1, 16, c))
+        res = jnp.zeros_like(x)
+        w1 = jax.random.normal(jax.random.key(1), (c, 2 * 4 * c)) * c**-0.5
+        b1 = jnp.zeros((2 * 4 * c,))
+        w2 = jax.random.normal(jax.random.key(2), (4 * c, c)) * (4 * c) ** -0.5
+        b2 = jnp.zeros((c,))
+        out = geglu_ff(x, res, w1, b1, w2, b2)
+        assert out.shape == x.shape
+
+
+class TestFlashAttentionBSC:
+    """Head-packed (B, S, H*D) forward kernel vs the 4D XLA reference."""
+
+    @pytest.mark.parametrize(
+        "sq,sk,h,d",
+        [(256, 256, 4, 40), (256, 256, 8, 40), (128, 300, 2, 64)],
+    )
+    def test_matches_xla(self, sq, sk, h, d):
+        from gmdx.kernels.flash_attention import flash_attention_bsc
+
+        ks = jax.random.split(jax.random.key(0), 3)
+        q = jax.random.normal(ks[0], (2, sq, h * d))
+        k = jax.random.normal(ks[1], (2, sk, h * d))
+        v = jax.random.normal(ks[2], (2, sk, h * d))
+        out = flash_attention_bsc(q, k, v, h, interpret=True)
+        ref = _xla_attention(
+            q.reshape(2, sq, h, d), k.reshape(2, sk, h, d),
+            v.reshape(2, sk, h, d), d**-0.5,
+        ).reshape(2, sq, h * d)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+
+    def test_grad_routes_through_flattened_kernels(self):
+        """Differentiation must match the (B,S,H,D) entry point exactly."""
+        from gmdx.kernels.flash_attention import (
+            flash_attention,
+            flash_attention_bsc,
+        )
+
+        h, d = 2, 40
+        q = jax.random.normal(jax.random.key(0), (1, 128, h * d))
+        g = jax.random.normal(jax.random.key(1), (1, 128, h * d))
+
+        _, vjp_bsc = jax.vjp(
+            lambda q_: flash_attention_bsc(q_, q_, q_, h, interpret=True), q
+        )
+        q4 = q.reshape(1, 128, h, d)
+        _, vjp_4d = jax.vjp(
+            lambda q_: flash_attention(q_, q_, q_, interpret=True), q4
+        )
+        got = vjp_bsc(g)[0]
+        want = vjp_4d(g.reshape(1, 128, h, d))[0].reshape(1, 128, h * d)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+    def test_unsupported_head_dim_returns_none(self):
+        from gmdx.kernels.flash_attention import flash_attention_bsc
+
+        q = jax.random.normal(jax.random.key(0), (1, 128, 36))  # d=12, 12%8
+        assert flash_attention_bsc(q, q, q, 3, interpret=True) is None
