@@ -87,6 +87,12 @@ def attention_packed(
     d = q.shape[-1] // heads
     if scale is None:
         scale = d**-0.5
+    # Long-KEY dispatch, same rule as the 4D path. A long-QUERY rule that
+    # also sent 4096-query/77-key cross-attention here (to save its q/out
+    # transposes) measured 0.7676 vs 0.8311 img/s on the dual bench — the
+    # per-head online-softmax machinery at nk=1 loses badly to XLA's fused
+    # short-K attention (cf. the round-1 sweep: XLA 1.1 ms vs flash 2.3 ms
+    # at 77 keys), far more than the transposes cost.
     use_pallas = (
         os.environ.get("GMDX_NO_PALLAS", "0") != "1"
         and os.environ.get("GMDX_PACKED_ATTN", "1") == "1"
