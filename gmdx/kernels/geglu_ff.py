@@ -206,6 +206,179 @@ def _ff_bwd(interpret, res, g):
 _ff_fused.defvjp(_ff_fwd, _ff_bwd)
 
 
+def _ff_ln_kernel(
+    x_ref,  # VMEM (blk, C) — PRE-norm input; also the residual
+    g_ref,  # VMEM (1, C) LayerNorm scale
+    be_ref,  # VMEM (1, C) LayerNorm bias
+    w1h_ref,  # VMEM (C, I) hidden half of proj_in
+    w1g_ref,  # VMEM (C, I) gate half
+    b1h_ref,  # VMEM (1, I)
+    b1g_ref,  # VMEM (1, I)
+    w2_ref,  # VMEM (I, C)
+    b2_ref,  # VMEM (1, C)
+    o_ref,  # VMEM (blk, C)
+    *,
+    eps: float,
+):
+    """LN -> proj_in -> GEGLU -> proj_out -> +residual, all in VMEM.
+
+    Relative to :func:`_ff_kernel` this also folds the preceding LayerNorm
+    (norm3 in the transformer block) in: the normalized activations never
+    round-trip HBM, and the residual is the raw input block itself, so the
+    chain's HBM traffic is read-x + write-out. LN statistics in fp32 (the
+    unfused flax LayerNorm ran them in the compute dtype — bf16 — so the
+    kernel is strictly more accurate)."""
+    xf = x_ref[...].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    c = xf - mean
+    var = jnp.mean(c * c, axis=1, keepdims=True)
+    y = c * jax.lax.rsqrt(var + eps) * g_ref[...] + be_ref[...]
+    y = y.astype(x_ref.dtype)
+    hidden = (
+        jax.lax.dot_general(
+            y, w1h_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b1h_ref[...]
+    )
+    gate = (
+        jax.lax.dot_general(
+            y, w1g_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b1g_ref[...]
+    )
+    act = (hidden * _gelu_exact(gate)).astype(y.dtype)
+    out = (
+        jax.lax.dot_general(
+            act, w2_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b2_ref[...]
+    )
+    o_ref[...] = (xf + out).astype(o_ref.dtype)
+
+
+def _ln_f32(x, gamma, beta, eps):
+    """fp32-stat LayerNorm matching the in-kernel math."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    c = xf - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    y = c * jax.lax.rsqrt(var + eps)
+    y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _ff_ln_reference(x, gamma, beta, w1, b1, w2, b2, eps):
+    return _ff_reference(
+        _ln_f32(x, gamma, beta, eps), x, w1, b1, w2, b2
+    )
+
+
+def _ff_ln_pallas(x, gamma, beta, w1, b1, w2, b2, eps, interpret):
+    n, c = x.shape
+    inner = w2.shape[0]
+    blk = _TOKEN_BLOCK[c]
+    n_pad = (n + blk - 1) // blk * blk
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+
+    dtype = x.dtype
+    w1h = w1[:, :inner].astype(dtype)
+    w1g = w1[:, inner:].astype(dtype)
+    b1h = b1[:inner].astype(jnp.float32).reshape(1, inner)
+    b1g = b1[inner:].astype(jnp.float32).reshape(1, inner)
+    w2c = w2.astype(dtype)
+    b2c = b2.astype(jnp.float32).reshape(1, c)
+    g32 = gamma.astype(jnp.float32).reshape(1, c)
+    be32 = beta.astype(jnp.float32).reshape(1, c)
+
+    tok_spec = pl.BlockSpec((blk, c), lambda i: (i, 0))
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
+    out = pl.pallas_call(
+        functools.partial(_ff_ln_kernel, eps=eps),
+        grid=(n_pad // blk,),
+        in_specs=[
+            tok_spec,
+            const((1, c)),
+            const((1, c)),
+            const((c, inner)),
+            const((c, inner)),
+            const((1, inner)),
+            const((1, inner)),
+            const((inner, c)),
+            const((1, c)),
+        ],
+        out_specs=tok_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), dtype),
+        interpret=interpret,
+    )(x, g32, be32, w1h, w1g, b1h, b1g, w2c, b2c)
+    return out[:n] if n_pad != n else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _ff_ln_fused(x, gamma, beta, w1, b1, w2, b2, eps, interpret=False):
+    b, s, c = x.shape
+    out = _ff_ln_pallas(
+        x.reshape(b * s, c), gamma, beta, w1, b1, w2, b2, eps, interpret
+    )
+    return out.reshape(b, s, c)
+
+
+def _ff_ln_fwd(x, gamma, beta, w1, b1, w2, b2, eps, interpret):
+    return _ff_ln_fused(x, gamma, beta, w1, b1, w2, b2, eps, interpret), (
+        x, gamma, beta, w1, b1, w2, b2,
+    )
+
+
+def _ff_ln_bwd(eps, interpret, res, g):
+    x, gamma, beta, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda x_, g_, be_, w1_, b1_, w2_, b2_: _ff_ln_reference(
+            x_, g_, be_, w1_, b1_, w2_, b2_, eps
+        ),
+        x, gamma, beta, w1, b1, w2, b2,
+    )
+    return vjp(g)
+
+
+_ff_ln_fused.defvjp(_ff_ln_fwd, _ff_ln_bwd)
+
+
+def geglu_ff_ln(
+    x: Array,
+    gamma: Array,
+    beta: Array,
+    w1: Array,
+    b1: Array,
+    w2: Array,
+    b2: Array,
+    *,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> Array:
+    """x + proj_out(geglu(proj_in(LayerNorm(x)))) over (B, S, C) sequences.
+
+    The fully fused transformer-FF tail: LN, both matmuls, the GEGLU
+    product, and the residual add in one VMEM pass — x is read once (it is
+    its own residual). Same dispatch rules as :func:`geglu_ff`;
+    ``GMDX_FUSED_FF=0`` disables the kernel globally."""
+    c = x.shape[-1]
+    use_pallas = (
+        os.environ.get("GMDX_FUSED_FF", "1") == "1"
+        and c in _TOKEN_BLOCK
+        and w1.shape[1] % 256 == 0
+        and (interpret or jax.default_backend() == "tpu")
+    )
+    if use_pallas:
+        return _ff_ln_fused(x, gamma, beta, w1, b1, w2, b2, eps, interpret)
+    return _ff_ln_reference(x, gamma, beta, w1, b1, w2, b2, eps)
+
+
 def geglu_ff(
     x: Array,
     residual: Array,
@@ -234,4 +407,4 @@ def geglu_ff(
     return _ff_reference(x, residual, w1, b1, w2, b2)
 
 
-__all__ = ["geglu_ff"]
+__all__ = ["geglu_ff", "geglu_ff_ln"]

@@ -339,13 +339,99 @@ def fused_group_norm_silu(
     return _gn_silu_pallas(x, scale, bias, num_groups, eps, activate, interpret)
 
 
+def _gn_onepass_kernel(
+    x_ref,  # VMEM (1, hw, C) — one full image
+    scale_ref,  # VMEM (1, C)
+    bias_ref,  # VMEM (1, C)
+    o_ref,  # VMEM (1, hw, C)
+    stats_ref,  # VMEM (1, 2, G) group (sum, sumsq) — backward residual
+    *,
+    num_groups: int,
+    n_elems: int,
+    eps: float,
+    activate: bool,
+):
+    """Single-pass GN(+SiLU) when a whole image's activations fit VMEM:
+    one HBM read + one write, vs the blocked kernels' two reads + one write.
+    All SD-1.5 UNet activation shapes qualify (64x64x320 bf16 = 2.6 MB)."""
+    x = x_ref[0].astype(jnp.float32)  # (hw, C)
+    c = x.shape[1]
+    onehot = _group_onehot(c, num_groups)
+    colsum = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
+    colsq = jnp.sum(x * x, axis=0, keepdims=True)
+    gsum = jnp.dot(colsum, onehot, preferred_element_type=jnp.float32)
+    gsq = jnp.dot(colsq, onehot, preferred_element_type=jnp.float32)
+    mean = gsum / n_elems  # (1, G)
+    var = gsq / n_elems - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    onehot_t = onehot.T  # (G, C)
+    mean_c = jnp.dot(mean, onehot_t, preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(rstd, onehot_t, preferred_element_type=jnp.float32)
+    y = (x - mean_c) * rstd_c
+    y = y * scale_ref[0].astype(jnp.float32)[None, :] + (
+        bias_ref[0].astype(jnp.float32)[None, :]
+    )
+    if activate:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+    stats_ref[0] = jnp.concatenate([gsum, gsq], axis=0)
+
+
+# Whole-image VMEM budget for the one-pass kernel: the input block in its
+# own dtype. The fp32 compute copy and the output block roughly 5x this, so
+# 4 MB keeps the scoped allocation comfortably inside v5e VMEM while
+# covering every SD-1.5 UNet shape (max 64x64x960 bf16 = 7.9 MB is over —
+# concat resnet inputs at 64x64 use the blocked path; 64x64x320/640 and all
+# deeper levels qualify) plus the VAE's 64x64x512 mid blocks.
+_ONEPASS_BUDGET = 4 * 1024 * 1024
+
+
 def _gn_forward(x, scale, bias, num_groups, eps, activate, interpret):
     b, h, w, c = x.shape
     hw = h * w
     gsize = c // num_groups
+    xf = x.reshape(b, hw, c)
+
+    if hw * c * x.dtype.itemsize <= _ONEPASS_BUDGET:
+        out, stats = pl.pallas_call(
+            functools.partial(
+                _gn_onepass_kernel, num_groups=num_groups,
+                n_elems=hw * gsize, eps=eps, activate=activate,
+            ),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, num_groups), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+                jax.ShapeDtypeStruct((b, 2, num_groups), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                # The fp32 compute copies of a whole 4 MB image block (x
+                # cast, x*x, y) put the transient stack past the 16 MB
+                # default scoped limit (24 MB at the VAE's 64x64x512 bf16
+                # mid blocks) but well within physical VMEM — same
+                # rationale as the head-packed flash kernel.
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(xf, scale.reshape(1, c), bias.reshape(1, c))
+        return out.reshape(b, h, w, c), stats
+
     blk_hw = _pick_blk_hw(hw, c, x.dtype.itemsize)
     n_blk = hw // blk_hw
-    xf = x.reshape(b, hw, c)
 
     stats = pl.pallas_call(
         functools.partial(_stats_kernel, num_groups=num_groups, gsize=gsize),

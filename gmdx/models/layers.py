@@ -227,6 +227,11 @@ class GEGLUFeedForward(nn.Module):
     projection round-trips HBM three times and the proj_out fusions profile
     HBM-bound (BENCHNOTES.md round 2).
 
+    ``ln_scale``/``ln_bias`` additionally fold the PRECEDING LayerNorm into
+    the same kernel (x is then the PRE-norm input and its own residual):
+    the normalized activations never touch HBM and x is read once instead
+    of three times (LN read, FF read, residual read).
+
     exact (erf) gelu: diffusers' GEGLU uses torch F.gelu's default erf
     form; the tanh approximation would cost ~1e-3 of systematic error
     per block in cross-framework parity for zero TPU speedup.
@@ -237,12 +242,31 @@ class GEGLUFeedForward(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, residual: Optional[Array] = None) -> Array:
+    def __call__(
+        self,
+        x: Array,
+        residual: Optional[Array] = None,
+        ln_scale: Optional[Array] = None,
+        ln_bias: Optional[Array] = None,
+        ln_eps: float = 1e-5,
+    ) -> Array:
         inner = self.dim * self.mult
         w1, b1 = _DenseParams(self.dim, inner * 2, name="proj_in")()
         w2, b2 = _DenseParams(inner, self.dim, name="proj_out")()
 
-        from gmdx.kernels.geglu_ff import geglu_ff
+        from gmdx.kernels.geglu_ff import geglu_ff, geglu_ff_ln
+
+        if ln_scale is not None:
+            return geglu_ff_ln(
+                x,
+                ln_scale,
+                ln_bias,
+                w1.astype(self.dtype),
+                b1.astype(self.dtype),
+                w2.astype(self.dtype),
+                b2.astype(self.dtype),
+                eps=ln_eps,
+            )
 
         res = residual if residual is not None else jnp.zeros((), x.dtype)
         res = jnp.broadcast_to(res.astype(x.dtype), x.shape)
@@ -257,8 +281,29 @@ class GEGLUFeedForward(nn.Module):
         return out
 
 
+class _LNScaleBias(nn.Module):
+    """LayerNorm scale/bias params in nn.LayerNorm's exact tree layout
+    (``<name>/scale|bias``), for paths that fuse the normalization into a
+    downstream kernel instead of calling nn.LayerNorm."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
 class BasicTransformerBlock(nn.Module):
-    """LN -> self-attn -> LN -> cross-attn -> LN -> GEGLU FF (pre-norm)."""
+    """LN -> self-attn -> LN -> cross-attn -> LN -> GEGLU FF (pre-norm).
+
+    LayerNorm eps is 1e-5 (torch nn.LayerNorm default, which diffusers'
+    BasicTransformerBlock inherits) — flax's 1e-6 default would be a small
+    systematic parity error vs reference checkpoints. norm3 is not a module
+    call: its params feed the fused LN+GEGLU kernel (gmdx/kernels/geglu_ff)
+    with the identical ``norm3/scale|bias`` tree layout."""
 
     dim: int
     heads: int
@@ -268,11 +313,11 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(
             self.dim, self.heads, self.head_dim, dtype=self.dtype, name="attn1"
         )(h)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + Attention(
             self.dim,
             self.heads,
@@ -281,9 +326,9 @@ class BasicTransformerBlock(nn.Module):
             dtype=self.dtype,
             name="attn2",
         )(h, context)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        ln_scale, ln_bias = _LNScaleBias(self.dim, name="norm3")()
         return GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(
-            h, residual=x
+            x, ln_scale=ln_scale, ln_bias=ln_bias, ln_eps=1e-5
         )
 
 

@@ -209,8 +209,17 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
         **_ignored,  # parity: reference swallows unknown kwargs (:811)
     ):
         """Returns a (sdr, gm) tuple — postprocessed [0,1] NHWC numpy images,
-        or raw latents when ``output_type == "latent"`` (the reference packs
-        them as [latents, gm_latents], :1123)."""
+        or raw latents when ``output_type == "latent"``.
+
+        Return-shape parity: the reference ALSO returns a 2-tuple
+        ``(sdr_latent, gm_latent)`` for every output type — its
+        ``image = [latents, gm_latents]`` at
+        stable_diffusion_dual_unet.py:1121 is an intermediate list whose two
+        entries are postprocessed separately (identity for "latent") and
+        returned as ``(sdr_latent, gm_latent)`` at :1131; the
+        StableDiffusionPipelineOutput path after the early return (:1134-1140)
+        is dead code. Consumers index the tuple
+        (e.g. formal_baseline.py:219-225 ``sdr_latent, gm_latent = pipeline(...)``)."""
         self.check_inputs(
             prompt, height=height, width=width,
             guidance_rescale=guidance_rescale,

@@ -165,6 +165,48 @@ class TestFusedGroupNorm:
             jnp.zeros((1, 4, 4, 100)), jnp.ones(100), jnp.zeros(100)
         ) is None
 
+    def test_onepass_matches_blocked(self, monkeypatch):
+        """The whole-image one-pass kernel and the blocked two-pass kernels
+        must agree (same input, same stats residual for the backward)."""
+        from gmdx.kernels import groupnorm as gnmod
+
+        x = jax.random.normal(jax.random.key(0), (2, 16, 16, 320)) * 2 + 1
+        s = jax.random.normal(jax.random.key(1), (320,)) * 0.1 + 1.0
+        b = jax.random.normal(jax.random.key(2), (320,)) * 0.1
+        one = fused_group_norm_silu(x, s, b, num_groups=32, interpret=True)
+        monkeypatch.setattr(gnmod, "_ONEPASS_BUDGET", 0)  # force blocked
+        blocked = fused_group_norm_silu(
+            x, s, b, num_groups=32, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(one), np.asarray(blocked), rtol=1e-5, atol=1e-5
+        )
+
+    def test_onepass_pallas_backward_matches(self, monkeypatch):
+        """dx/dscale/dbias from the Pallas backward must be identical
+        whichever forward produced the stats residual."""
+        from gmdx.kernels import groupnorm as gnmod
+
+        x = jax.random.normal(jax.random.key(0), (1, 8, 8, 128))
+        s = jax.random.normal(jax.random.key(1), (128,)) * 0.1 + 1.0
+        b = jax.random.normal(jax.random.key(2), (128,)) * 0.1
+
+        def loss(x, s, b):
+            return jnp.sum(
+                fused_group_norm_silu(
+                    x, s, b, num_groups=32, interpret=True
+                )
+                ** 2
+            )
+
+        g_one = jax.grad(loss, argnums=(0, 1, 2))(x, s, b)
+        monkeypatch.setattr(gnmod, "_ONEPASS_BUDGET", 0)
+        g_blk = jax.grad(loss, argnums=(0, 1, 2))(x, s, b)
+        for a, e in zip(g_one, g_blk):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(e), rtol=1e-5, atol=1e-5
+            )
+
 
 class TestGroupNormVJP:
     def test_grad_matches_jnp(self):
@@ -318,6 +360,92 @@ class TestFusedGEGLUFF:
         w2 = jax.random.normal(jax.random.key(2), (4 * c, c)) * (4 * c) ** -0.5
         b2 = jnp.zeros((c,))
         out = geglu_ff(x, res, w1, b1, w2, b2)
+        assert out.shape == x.shape
+
+
+class TestFusedLNGEGLUFF:
+    """LN-fused FF kernel (geglu_ff_ln) vs the jnp LN+FF reference."""
+
+    def _make(self, key, n, c, mult=4, dtype=jnp.float32):
+        ks = jax.random.split(key, 7)
+        inner = c * mult
+        x = jax.random.normal(ks[0], (2, n, c), dtype)
+        gamma = (1.0 + 0.1 * jax.random.normal(ks[1], (c,))).astype(dtype)
+        beta = (0.1 * jax.random.normal(ks[2], (c,))).astype(dtype)
+        w1 = jax.random.normal(ks[3], (c, inner * 2), dtype) * c**-0.5
+        b1 = jax.random.normal(ks[4], (inner * 2,), dtype) * 0.1
+        w2 = jax.random.normal(ks[5], (inner, c), dtype) * inner**-0.5
+        b2 = jax.random.normal(ks[6], (c,), dtype) * 0.1
+        return x, gamma, beta, w1, b1, w2, b2
+
+    def test_matches_reference_dim320(self):
+        from gmdx.kernels.geglu_ff import _ff_ln_fused, _ff_ln_reference
+
+        args = self._make(jax.random.key(0), 300, 320)  # 300: pad path
+        out = _ff_ln_fused(*args, 1e-5, interpret=True)
+        ref = _ff_ln_reference(*args, 1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_matches_reference_dim640_bf16(self):
+        from gmdx.kernels.geglu_ff import _ff_ln_fused, _ff_ln_reference
+
+        args = self._make(jax.random.key(1), 128, 640, dtype=jnp.bfloat16)
+        out = _ff_ln_fused(*args, 1e-5, interpret=True)
+        ref = _ff_ln_reference(
+            *[a.astype(jnp.float32) for a in args], 1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, dtype=np.float32), np.asarray(ref),
+            rtol=3e-2, atol=3e-2,
+        )
+
+    def test_grads_match_reference(self):
+        from gmdx.kernels.geglu_ff import _ff_ln_fused, _ff_ln_reference
+
+        args = self._make(jax.random.key(2), 128, 320)
+        g = jax.random.normal(jax.random.key(3), args[0].shape)
+
+        _, vjp_p = jax.vjp(
+            lambda *a: _ff_ln_fused(*a, 1e-5, interpret=True), *args
+        )
+        _, vjp_r = jax.vjp(lambda *a: _ff_ln_reference(*a, 1e-5), *args)
+        names = ("dx", "dgamma", "dbeta", "dw1", "db1", "dw2", "db2")
+        for got, want, name in zip(vjp_p(g), vjp_r(g), names):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
+                err_msg=name,
+            )
+
+    def test_residual_is_prenorm_input(self):
+        """Zero FF weights: output must equal x exactly (x is the residual)."""
+        from gmdx.kernels.geglu_ff import geglu_ff_ln
+
+        c = 320
+        x = jax.random.normal(jax.random.key(0), (1, 256, c))
+        gamma = jnp.ones((c,))
+        beta = jnp.zeros((c,))
+        w1 = jnp.zeros((c, 8 * c))
+        b1 = jnp.zeros((8 * c,))
+        w2 = jnp.zeros((4 * c, c))
+        b2 = jnp.zeros((c,))
+        out = geglu_ff_ln(x, gamma, beta, w1, b1, w2, b2, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+    def test_dispatch_fallback_unsupported_dim(self):
+        """dim 1280 (no VMEM budget) must take the jnp path, not error."""
+        from gmdx.kernels.geglu_ff import geglu_ff_ln
+
+        c = 1280
+        x = jax.random.normal(jax.random.key(0), (1, 16, c))
+        gamma = jnp.ones((c,))
+        beta = jnp.zeros((c,))
+        w1 = jax.random.normal(jax.random.key(1), (c, 2 * 4 * c)) * c**-0.5
+        b1 = jnp.zeros((2 * 4 * c,))
+        w2 = jax.random.normal(jax.random.key(2), (4 * c, c)) * (4 * c) ** -0.5
+        b2 = jnp.zeros((c,))
+        out = geglu_ff_ln(x, gamma, beta, w1, b1, w2, b2)
         assert out.shape == x.shape
 
 
