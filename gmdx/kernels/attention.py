@@ -88,22 +88,40 @@ def attention_packed(
     if scale is None:
         scale = d**-0.5
     # Long-KEY dispatch, same rule as the 4D path. A long-QUERY rule that
-    # also sent 4096-query/77-key cross-attention here (to save its q/out
-    # transposes) measured 0.7676 vs 0.8311 img/s on the dual bench — the
-    # per-head online-softmax machinery at nk=1 loses badly to XLA's fused
-    # short-K attention (cf. the round-1 sweep: XLA 1.1 ms vs flash 2.3 ms
-    # at 77 keys), far more than the transposes cost.
-    use_pallas = (
-        os.environ.get("GMDX_NO_PALLAS", "0") != "1"
-        and os.environ.get("GMDX_PACKED_ATTN", "1") == "1"
-        and jax.default_backend() == "tpu"
-        and k.shape[1] >= 1024
-        and d <= 160
+    # also sent 4096-query/77-key cross-attention through the ONLINE-softmax
+    # BSC kernel measured 0.7676 vs 0.8311 img/s on the dual bench — the
+    # per-head running-max/correction machinery at nk=1 loses badly to
+    # XLA's fused short-K attention. Short-K shapes instead take the
+    # dedicated single-k-block kernel below (exact softmax, K/V resident,
+    # no transposes), which has none of that overhead.
+    no_pallas = (
+        os.environ.get("GMDX_NO_PALLAS", "0") == "1"
+        or os.environ.get("GMDX_PACKED_ATTN", "1") != "1"
+        or jax.default_backend() != "tpu"
     )
-    if use_pallas:
+    if not no_pallas and k.shape[1] >= 1024 and d <= 160:
         from gmdx.kernels.flash_attention import flash_attention_bsc
 
         out = flash_attention_bsc(q, k, v, heads, scale=scale)
+        if out is not None:
+            return out
+    # Default OFF: even the specialized single-k-block kernel (exact
+    # softmax, no online corrections, K/V resident, zero transposes)
+    # measured 0.819 vs 0.8426 img/s on the dual bench — at 77 keys the
+    # score/PV matmuls are tiny and XLA's fused short-K attention keeps
+    # them inside one fusion with the surrounding elementwise work, which
+    # the pallas_call boundary forcibly breaks. GMDX_XATTN_KERNEL=1
+    # re-enables for future A/Bs.
+    if (
+        not no_pallas
+        and os.environ.get("GMDX_XATTN_KERNEL", "0") == "1"
+        and k.shape[1] <= 128
+        and q.shape[1] >= 1024
+        and d <= 160
+    ):
+        from gmdx.kernels.flash_attention import cross_attention_shortk
+
+        out = cross_attention_shortk(q, k, v, heads, scale=scale)
         if out is not None:
             return out
     b, sq, c = q.shape

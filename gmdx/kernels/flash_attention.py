@@ -682,6 +682,176 @@ def flash_attention_bsc(
     return _flash_bsc(q, k, v, heads, scale, interpret)
 
 
+def _xattn_kernel(
+    q_ref,  # VMEM (1, blk_q, C) — pre-scaled by sm_scale*log2(e)
+    k_ref,  # VMEM (1, skp, C) — whole (padded) key range, resident
+    v_ref,  # VMEM (1, skp, C)
+    o_ref,  # VMEM (1, blk_q, C)
+    *,
+    heads: int,
+    head_dim: int,
+    sk: int,
+    needs_mask: bool,
+):
+    """Short-K head-packed attention (cross-attention over text tokens).
+
+    With the whole key range in one block (77 CLIP tokens pad to 128
+    sublanes) there is nothing "online" about the softmax: per head it is
+    one (blk_q, skp) score matmul, an exact row softmax, and one PV matmul
+    — none of the running-max/correction machinery the long-K kernels need
+    (which is exactly why routing these shapes to the BSC kernel measured
+    0.7676 vs 0.8311, BENCHNOTES.md round 2). Operands stay head-packed, so
+    the XLA path's per-operand (B,S,H,D)->(B,H,S,D) transposes disappear
+    too. K/V use constant-over-q index maps: fetched once per batch row and
+    kept in VMEM across the q blocks.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    col = None
+    if needs_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], k.shape[0]), 1)
+
+    d = head_dim
+    outs = []
+    for h in range(heads):
+        qh = jax.lax.slice_in_dim(q, h * d, (h + 1) * d, axis=1)
+        kh = jax.lax.slice_in_dim(k, h * d, (h + 1) * d, axis=1)
+        s = jax.lax.dot_general(
+            qh,
+            kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if needs_mask:
+            s = jnp.where(col < sk, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v.dtype),
+            jax.lax.slice_in_dim(v, h * d, (h + 1) * d, axis=1),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(acc / l)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _xattn_forward_bsc(
+    q: Array,
+    k: Array,
+    v: Array,
+    heads: int,
+    scale: float,
+    interpret: bool = False,
+) -> Array:
+    """Inference forward over (B, S, H*D) operands, Sk <= one block."""
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    d = c // heads
+    dtype = q.dtype
+
+    blk_q = min(_env_block("GMDX_XATTN_BLKQ", 1024), _round_up(sq, 128))
+    skp = _round_up(sk, 128)
+    sq_p = _round_up(sq, blk_q)
+
+    qp = (q.astype(jnp.float32) * (scale * _LOG2_E)).astype(dtype)
+    if sq_p != sq:
+        qp = jnp.pad(qp, ((0, 0), (0, sq_p - sq), (0, 0)))
+    kp, vp = k, v
+    if skp != sk:
+        kp = jnp.pad(k, ((0, 0), (0, skp - sk), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, skp - sk), (0, 0)))
+
+    grid = (b, sq_p // blk_q)
+    (out,) = pl.pallas_call(
+        functools.partial(
+            _xattn_kernel,
+            heads=heads,
+            head_dim=d,
+            sk=sk,
+            needs_mask=skp != sk,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk_q, c), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, skp, c), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, skp, c), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, blk_q, c), lambda b, i: (b, i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((b, sq_p, c), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * sq_p * skp * d,
+            bytes_accessed=2 * b * (sq_p + 2 * skp) * c * dtype.itemsize,
+            transcendentals=b * heads * sq_p * skp,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :sq] if sq_p != sq else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _xattn_bsc(
+    q: Array, k: Array, v: Array, heads: int, scale: float,
+    interpret: bool = False,
+) -> Array:
+    return _xattn_forward_bsc(q, k, v, heads, scale, interpret)
+
+
+def _xattn_bsc_vjp_fwd(q, k, v, heads, scale, interpret):
+    # Differentiated path: identical strategy to _flash_bsc — the flattened
+    # forward emits the LSE residual the backward kernels consume.
+    out4, res = _flash_fwd(
+        _bsc_to_bshd(q, heads), _bsc_to_bshd(k, heads),
+        _bsc_to_bshd(v, heads), scale, interpret,
+    )
+    b, s, _, _ = out4.shape
+    return out4.reshape(b, s, -1), res
+
+
+def _xattn_bsc_vjp_bwd(heads, scale, interpret, res, g):
+    dq4, dk4, dv4 = _flash_bwd(scale, interpret, res, _bsc_to_bshd(g, heads))
+    return tuple(
+        x.reshape(x.shape[0], x.shape[1], -1) for x in (dq4, dk4, dv4)
+    )
+
+
+_xattn_bsc.defvjp(_xattn_bsc_vjp_fwd, _xattn_bsc_vjp_bwd)
+
+
+def cross_attention_shortk(
+    q: Array,
+    k: Array,
+    v: Array,
+    heads: int,
+    *,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> Array | None:
+    """Head-packed attention for short key ranges (<= 128 after padding).
+
+    Same math as :func:`flash_attention_bsc`; specialized single-k-block
+    softmax (no online corrections). Returns None if unsupported."""
+    if q.ndim != 3 or k.ndim != 3 or v.ndim != 3:
+        return None
+    if q.shape[-1] % heads or k.shape[-1] != q.shape[-1]:
+        return None
+    if k.shape[1] > 128:
+        return None
+    d = q.shape[-1] // heads
+    if d % 8:
+        return None
+    if jax.default_backend() != "tpu" and not interpret:
+        return None
+    if scale is None:
+        scale = d**-0.5
+    return _xattn_bsc(q, k, v, heads, scale, interpret)
+
+
 def _xla_flat(q, k, v, scale):
     logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale
     w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)

@@ -449,6 +449,75 @@ class TestFusedLNGEGLUFF:
         assert out.shape == x.shape
 
 
+class TestCrossAttentionShortK:
+    """Single-k-block cross-attention kernel vs the XLA reference.
+
+    Comparisons run under jax.default_matmul_precision("highest"): the CPU
+    backend's default-precision fp32 dots are low-precision (oneDNN bf16
+    fast path, ~5e-2 abs error on unit-scale 8-dim dots), which would
+    otherwise dominate the kernel-vs-reference diff."""
+
+    @pytest.mark.parametrize(
+        "sq,sk,h,d",
+        [(1024, 77, 8, 40), (1024, 128, 4, 64), (2000, 77, 2, 40)],
+    )
+    def test_matches_xla(self, sq, sk, h, d):
+        from gmdx.kernels.flash_attention import cross_attention_shortk
+
+        ks = jax.random.split(jax.random.key(0), 3)
+        q = jax.random.normal(ks[0], (2, sq, h * d))
+        k = jax.random.normal(ks[1], (2, sk, h * d))
+        v = jax.random.normal(ks[2], (2, sk, h * d))
+        with jax.default_matmul_precision("highest"):
+            out = cross_attention_shortk(q, k, v, h, interpret=True)
+            ref = _xla_attention(
+                q.reshape(2, sq, h, d), k.reshape(2, sk, h, d),
+                v.reshape(2, sk, h, d), d**-0.5,
+            ).reshape(2, sq, h * d)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_rejects_long_k(self):
+        from gmdx.kernels.flash_attention import cross_attention_shortk
+
+        q = jnp.zeros((1, 256, 80))
+        k = jnp.zeros((1, 256, 80))
+        assert cross_attention_shortk(q, k, k, 2, interpret=True) is None
+
+    def test_grad_routes_through_flattened_kernels(self):
+        """Differentiation must match the (B,S,H,D) entry point exactly."""
+        from gmdx.kernels.flash_attention import (
+            cross_attention_shortk,
+            flash_attention,
+        )
+
+        h, d = 2, 40
+        q = jax.random.normal(jax.random.key(0), (1, 256, h * d))
+        k = jax.random.normal(jax.random.key(1), (1, 77, h * d))
+        v = jax.random.normal(jax.random.key(2), (1, 77, h * d))
+        g = jax.random.normal(jax.random.key(3), q.shape)
+
+        _, vjp_sk = jax.vjp(
+            lambda q_, k_, v_: cross_attention_shortk(
+                q_, k_, v_, h, interpret=True
+            ),
+            q, k, v,
+        )
+        _, vjp_4d = jax.vjp(
+            lambda q_, k_, v_: flash_attention(q_, k_, v_, interpret=True),
+            q.reshape(1, 256, h, d), k.reshape(1, 77, h, d),
+            v.reshape(1, 77, h, d),
+        )
+        got = vjp_sk(g)
+        want = vjp_4d(g.reshape(1, 256, h, d))
+        for a, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(w).reshape(a.shape),
+                rtol=1e-5, atol=1e-5,
+            )
+
+
 class TestFlashAttentionBSC:
     """Head-packed (B, S, H*D) forward kernel vs the 4D XLA reference."""
 
