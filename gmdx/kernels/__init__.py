@@ -7,6 +7,13 @@ the GMDX_NO_PALLAS env var to force the XLA path).
 
 from gmdx.kernels.attention import dot_product_attention
 from gmdx.kernels.flash_attention import flash_attention
-from gmdx.kernels.geglu_ff import geglu_ff
+from gmdx.kernels.geglu_ff import geglu_ff, geglu_ff_ln
+from gmdx.kernels.winograd import winograd_conv3x3
 
-__all__ = ["dot_product_attention", "flash_attention", "geglu_ff"]
+__all__ = [
+    "dot_product_attention",
+    "flash_attention",
+    "geglu_ff",
+    "geglu_ff_ln",
+    "winograd_conv3x3",
+]

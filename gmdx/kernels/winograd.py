@@ -1,0 +1,366 @@
+"""Winograd F(2x2, 3x3) convolution as a Pallas TPU kernel.
+
+The SD-1.5 UNet's 3x3 stride-1 resnet convolutions are ~48% of the dual
+denoise step (BENCHNOTES.md round 2 trace), running at 73-97% MXU on XLA's
+direct lowering — further direct-conv tuning is capped. Winograd changes
+the arithmetic itself: with 2x2 output tiles, each tile costs 16 transform-
+domain multiplies instead of 36 direct MACs (2.25x fewer), and the
+transform-domain contraction is over the FULL channel depth (C = 320-1280)
+instead of 9-tap patches, which is exactly the MXU's preferred shape.
+
+Math (Lavin & Gray, arXiv:1509.09308):
+    Y = A^T [ (G g G^T) .* (B^T d B) ] A        per 4x4 input tile d,
+with
+    B^T = [[1,0,-1,0],[0,1,1,0],[0,-1,1,0],[0,1,0,-1]]
+    G   = [[1,0,0],[.5,.5,.5],[.5,-.5,.5],[0,0,1]]
+    A^T = [[1,1,1,0],[0,1,-1,-1]]
+Summed over channels, the elementwise product becomes, for each of the 16
+transform points, one (tiles, C) @ (C, O) matmul.
+
+Kernel design (see /opt/skills/guides/pallas_guide.md):
+  * Grid (B,) — one whole image per grid step, sequential ("arbitrary") so
+    the weight transform runs ONCE into VMEM scratch at step 0 and is
+    reused by every image (weights are loop-constants inside the denoise
+    scan; transforming in-kernel avoids materializing the 16/9x-sized U in
+    HBM every scan step — XLA does not hoist weight-expanding ops out of
+    scans, cf. the fused-QKV A/B in BENCHNOTES.md).
+  * The 16 shifted input planes d_ij are built in VMEM from a
+    parity-in-lanes layout: the padded image is reshaped — FREE, row-major
+    compatible, no copy — to (B, Tp, 2, Tp, 2C), so each phase plane is
+    one untiled index plus one lane slice, then static unit-stride slices.
+    Mosaic rejects stride-2 vector slices; an XLA-side 6D phase transpose
+    measured ~10 ms/iter of formatting passes across the dual step, and an
+    in-kernel sublane-split reshape (tiling as (2, C)) was catastrophically
+    slower still (0.744 vs 0.843 img/s) — the lane-merge layout avoids
+    both (BENCHNOTES.md).
+  * Input/weight transforms and the output transform accumulate in fp32
+    (entries of B/G/A are 0, +-1, +-0.5 — the sums are exact in fp32);
+    the 16 matmuls run in the input dtype with fp32 accumulation.
+  * VMEM pressure is managed by splitting tile ROWS across a second
+    sequential grid dim (whole-image input block stays resident; compute
+    and output slabs shrink 1/split).
+  * Training: custom VJP recomputes through lax.conv_general_dilated — XLA's
+    native conv gradients, so backward cost and numerics are unchanged.
+
+Replaces nothing in the reference (its convs run through cuDNN); this is
+TPU-native performance work on the same math.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+# B^T, G, A^T for F(2x2, 3x3).
+_BT = np.array(
+    [[1, 0, -1, 0], [0, 1, 1, 0], [0, -1, 1, 0], [0, 1, 0, -1]], np.float32
+)
+_G = np.array(
+    [[1, 0, 0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0, 0, 1]], np.float32
+)
+_AT = np.array([[1, 1, 1, 0], [0, 1, -1, -1]], np.float32)
+
+# Fudged working-set budget (bytes): the pallas_call's vmem_limit_bytes is
+# 110 MB; keep the estimate x fudge under 100 for headroom.
+_VMEM_CAP = 100 * 1024 * 1024
+
+
+def _vmem_estimate(
+    h: int, w: int, c: int, o: int, itemsize: int, split: int
+) -> int:
+    """Working-set estimate for one grid step processing 1/split of the
+    tile rows. Calibrated against Mosaic's scoped-vmem accounting (which
+    keeps all 16 fp32 d-plane upcasts + double-buffered blocks live): the
+    caller multiplies by _MOSAIC_FUDGE."""
+    t = (h // 2) * (w // 2) // split
+    trs = h // 2 // split
+    x_blk = (h + 2) * (w + 2) * c * itemsize  # whole image stays resident
+    slab = 3 * (2 * trs + 2) * (w + 2) * c * itemsize  # slab + phase copies
+    d_planes = 16 * t * c * itemsize  # shifted planes, input dtype
+    v_f32 = 5 * t * c * 4  # fp32 V-sum transients
+    y_acc = 4 * t * o * 4  # fp32 output-transform accumulators
+    m_tmp = 2 * t * o * 4  # one live matmul output + a scaled copy
+    u_scr = 16 * c * o * itemsize  # transformed weights (scratch)
+    g_in = 9 * c * o * itemsize
+    out_blk = 4 * t * o * itemsize
+    return (
+        x_blk + slab + d_planes + v_f32 + y_acc + m_tmp + u_scr + g_in
+        + out_blk
+    )
+
+
+# Measured: Mosaic's scoped allocation ran ~1.7x this estimate (113.4 MB vs
+# 67 estimated at 32x32x1280->640), so budget against cap/fudge.
+_MOSAIC_FUDGE = 1.7
+
+
+def _pick_split(h: int, w: int, c: int, o: int, itemsize: int) -> int:
+    """Smallest tile-row split whose fudged working set fits VMEM."""
+    t_rows = h // 2
+    for split in (1, 2, 4, 8):
+        if t_rows % split:
+            continue
+        if t_rows // split < 4:
+            break  # matmul rows too few to fill the MXU
+        est = _vmem_estimate(h, w, c, o, itemsize, split)
+        if est * _MOSAIC_FUDGE <= _VMEM_CAP:
+            return split
+    return 0  # no viable split -> fallback
+
+
+def _wino_kernel(
+    x_ref,  # VMEM (1, Tp, 2, Tp, 2C) padded image, parity-in-lanes (whole)
+    g_ref,  # VMEM (9*C, O) conv kernel, (k*3+l) tap-major rows
+    b_ref,  # VMEM (1, O) bias
+    o_ref,  # VMEM (1, 2, 2, Trs, Tc, O) phase-major output (row slab)
+    u_scr,  # VMEM (16*C, O) transformed weights, input dtype
+    *,
+    trs: int,  # tile rows per grid step
+    tc: int,  # tile columns
+    c: int,
+    o_ch: int,
+):
+    b_idx = pl.program_id(0)
+    s_idx = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(b_idx == 0, s_idx == 0))
+    def _transform_weights():
+        # U[xi,nu] = sum_kl G[xi,k] G[nu,l] g[k,l]  — fp32 sums, stored in
+        # the matmul dtype. ~60 flops per (c,o) element, once per call.
+        # The upcast happens fused with each coef multiply: pre-upcasting
+        # all 9 (C, O) planes kept ~30 MB of fp32 live in this branch at
+        # the 1280->640 level and dominated the kernel's scoped-VMEM stack
+        # (the apply path's slabs are split, this branch isn't).
+        for xi in range(4):
+            for nu in range(4):
+                acc = None
+                for k in range(3):
+                    gk = _G[xi, k]
+                    if gk == 0.0:
+                        continue
+                    for l in range(3):
+                        coef = gk * _G[nu, l]
+                        if coef == 0.0:
+                            continue
+                        plane = g_ref[
+                            (k * 3 + l) * c : (k * 3 + l + 1) * c, :
+                        ]
+                        term = plane.astype(jnp.float32) * coef
+                        acc = term if acc is None else acc + term
+                p = xi * 4 + nu
+                u_scr[p * c : (p + 1) * c, :] = acc.astype(u_scr.dtype)
+
+    dtype = o_ref.dtype
+
+    # Build the 16 shifted planes d_ij[ty,tx] = xpad[2ty+i, 2tx+j] from the
+    # parity-in-lanes layout: xpad[2a+p, 2b+q, ch] lives at
+    # x_ref[0, a, p, b, q*C+ch], so a phase plane is one untiled index (p)
+    # plus one LANE slice (q*C) — no sublane reshapes (a sublane-split
+    # (Tp, 2, C) intermediate tiles as (2, C) and measured catastrophically
+    # slow) and no XLA phase transpose (the 6D HBM transpose cost
+    # ~10 ms/iter). The row slab loads with a dynamic start on the untiled
+    # dim; 2ty+i = 2(ty+i//2) + i%2 makes the remaining slices static and
+    # unit-stride.
+    tp = x_ref.shape[3]
+    row0 = s_idx * trs
+    slabs = [
+        x_ref[0, pl.ds(row0, trs + 1), p_row]  # (trs+1, Tp, 2C)
+        for p_row in range(2)
+    ]
+    phases = [
+        [
+            jax.lax.slice_in_dim(slabs[p_row], q * c, (q + 1) * c, axis=2)
+            for q in range(2)
+        ]
+        for p_row in range(2)
+    ]
+    d = [
+        [
+            jax.lax.slice(
+                phases[i % 2][j % 2],
+                (i // 2, j // 2, 0),
+                (i // 2 + trs, j // 2 + tc, c),
+            )
+            for j in range(4)
+        ]
+        for i in range(4)
+    ]
+
+    bias = b_ref[...].astype(jnp.float32)  # (1, O)
+
+    # V[xi,nu] = sum_ij BT[xi,i] BT[nu,j] d_ij ; M = V @ U ; accumulate the
+    # output transform on the fly: Y[p,q] += AT[p,xi] AT[nu->q] M[xi,nu].
+    y = [[None, None], [None, None]]
+    for xi in range(4):
+        for nu in range(4):
+            acc = None
+            for i in range(4):
+                bi = _BT[xi, i]
+                if bi == 0.0:
+                    continue
+                for j in range(4):
+                    coef = bi * _BT[nu, j]
+                    if coef == 0.0:
+                        continue
+                    term = d[i][j].astype(jnp.float32) * coef
+                    acc = term if acc is None else acc + term
+            v = acc.astype(dtype).reshape(trs * tc, c)
+            p_idx = xi * 4 + nu
+            m = jax.lax.dot_general(
+                v,
+                u_scr[p_idx * c : (p_idx + 1) * c, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (t*t, O) fp32
+            for p in range(2):
+                ap = _AT[p, xi]
+                if ap == 0.0:
+                    continue
+                for q in range(2):
+                    coef = ap * _AT[q, nu]
+                    if coef == 0.0:
+                        continue
+                    term = m * coef
+                    y[p][q] = term if y[p][q] is None else y[p][q] + term
+
+    # Phase-major write; the caller interleaves with one XLA transpose
+    # (the same depth-to-space pattern as the sub-pixel Upsample2D). An
+    # in-kernel 2x2 interleave (stack+reshape) hits an unsupported Mosaic
+    # shape cast on the matmul-flat planes; the XLA pass touches only the
+    # output tensor, which the in-kernel input phases already made the
+    # cheap side.
+    for p in range(2):
+        for q in range(2):
+            o_ref[0, p, q] = (
+                (y[p][q] + bias).astype(o_ref.dtype).reshape(trs, tc, o_ch)
+            )
+
+
+def _conv3x3_reference(x: Array, kernel: Array, bias: Array) -> Array:
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        (1, 1),
+        ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + bias.astype(out.dtype)
+
+
+def _wino_forward(x, kernel, bias, split, interpret):
+    b, h, w, c = x.shape
+    o_ch = kernel.shape[-1]
+    t_rows = h // 2
+    tc = w // 2
+    trs = t_rows // split
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    tp = (h + 2) // 2
+    # FREE reshape (row-major compatible, no copy): row parity splits into
+    # an untiled dim, column parity merges into the LANE dim.
+    xl = xp.reshape(b, tp, 2, tp, 2 * c)
+    g2 = kernel.reshape(9 * c, o_ch)
+    b2 = bias.reshape(1, o_ch)
+
+    (out,) = pl.pallas_call(
+        functools.partial(_wino_kernel, trs=trs, tc=tc, c=c, o_ch=o_ch),
+        grid=(b, split),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tp, 2, tp, 2 * c), lambda i, s: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((9 * c, o_ch), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, o_ch), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 2, 2, trs, tc, o_ch),
+                lambda i, s: (i, 0, 0, s, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 2, 2, t_rows, tc, o_ch), x.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((16 * c, o_ch), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            # Sequential axes: the weight transform at grid step (0, 0)
+            # must complete before later steps reuse the scratch.
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * 16 * t_rows * tc * c * o_ch,
+            bytes_accessed=(b * (h + 2) * (w + 2) * c + 9 * c * o_ch
+                            + b * h * w * o_ch) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xl, g2, b2)
+    # Phase-major (B, 2, 2, T, T, O) -> (B, H, W, O): same depth-to-space
+    # pattern as the sub-pixel Upsample2D.
+    return out.transpose(0, 3, 1, 4, 2, 5).reshape(b, h, w, o_ch)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _wino_conv(x, kernel, bias, split, interpret=False):
+    return _wino_forward(x, kernel, bias, split, interpret)
+
+
+def _wino_fwd(x, kernel, bias, split, interpret):
+    return _wino_conv(x, kernel, bias, split, interpret), (x, kernel, bias)
+
+
+def _wino_bwd(split, interpret, res, g):
+    x, kernel, bias = res
+    _, vjp = jax.vjp(_conv3x3_reference, x, kernel, bias)
+    return vjp(g)
+
+
+_wino_conv.defvjp(_wino_fwd, _wino_bwd)
+
+
+def winograd_conv3x3(
+    x: Array,
+    kernel: Array,
+    bias: Array,
+    *,
+    interpret: bool = False,
+) -> Array | None:
+    """3x3 stride-1 SAME conv over NHWC via Winograd F(2x2, 3x3).
+
+    Returns None when the shape is unsupported (odd/non-square spatial,
+    tiny grids where the matmuls cannot fill the MXU, or a working set past
+    the VMEM budget) — callers fall back to the direct XLA conv.
+    ``GMDX_WINOGRAD=0`` disables globally.
+    """
+    if os.environ.get("GMDX_WINOGRAD", "1") != "1":
+        return None
+    if x.ndim != 4 or kernel.shape[:2] != (3, 3):
+        return None
+    b, h, w, c = x.shape
+    o_ch = kernel.shape[-1]
+    if h != w or h % 2 or h < 16:
+        return None
+    if c % 8 or o_ch % 8:
+        return None
+    split = _pick_split(h, w, c, o_ch, x.dtype.itemsize)
+    if split == 0:
+        return None
+    if jax.default_backend() != "tpu" and not interpret:
+        return None
+    return _wino_conv(x, kernel, bias, split, interpret)
+
+
+__all__ = ["winograd_conv3x3"]

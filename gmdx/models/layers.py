@@ -364,6 +364,40 @@ class Transformer2D(nn.Module):
         return x + residual
 
 
+class _Conv3x3Dispatch(nn.Module):
+    """3x3 stride-1 SAME conv with nn.Conv's exact param tree, dispatched to
+    the Winograd F(2x2, 3x3) Pallas kernel on TPU (gmdx/kernels/winograd.py
+    — 2.25x fewer MACs, transform-domain matmuls contract over the full
+    channel depth) with the direct XLA conv as fallback for unsupported
+    shapes or off-TPU."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        x = x.astype(self.dtype)
+
+        from gmdx.kernels.winograd import winograd_conv3x3
+
+        out = winograd_conv3x3(x, kernel, bias)
+        if out is not None:
+            return out
+        out = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias
+
+
 class ResnetBlock2D(nn.Module):
     """GN -> SiLU -> conv -> (+temb proj) -> GN -> SiLU -> conv, residual."""
 
@@ -375,14 +409,14 @@ class ResnetBlock2D(nn.Module):
     def __call__(self, x: Array, temb: Optional[Array] = None) -> Array:
         in_channels = x.shape[-1]
         h = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm1")(x, activate=True)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = _Conv3x3Dispatch(self.out_channels, dtype=self.dtype, name="conv1")(h)
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
         h = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm2")(h, activate=True)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = _Conv3x3Dispatch(self.out_channels, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(
                 self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"

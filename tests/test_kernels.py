@@ -449,6 +449,131 @@ class TestFusedLNGEGLUFF:
         assert out.shape == x.shape
 
 
+class TestWinogradConv3x3:
+    """Winograd F(2x2,3x3) kernel vs lax.conv_general_dilated.
+
+    Comparisons run under pinned matmul precision (the CPU backend's
+    default-precision fp32 dots are low-precision, see
+    TestCrossAttentionShortK)."""
+
+    @pytest.mark.parametrize(
+        "b,hw,c,o",
+        [(2, 16, 32, 16), (1, 32, 64, 32), (2, 16, 40, 24)],
+    )
+    def test_matches_direct_conv(self, b, hw, c, o):
+        from gmdx.kernels.winograd import (
+            _conv3x3_reference,
+            winograd_conv3x3,
+        )
+
+        ks = jax.random.split(jax.random.key(0), 3)
+        x = jax.random.normal(ks[0], (b, hw, hw, c), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 3, c, o)) * 0.1
+        bias = jax.random.normal(ks[2], (o,)) * 0.1
+        with jax.default_matmul_precision("highest"):
+            out = winograd_conv3x3(x, k, bias, interpret=True)
+            ref = _conv3x3_reference(x, k, bias)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_grads_are_direct_conv_grads(self):
+        """The VJP recomputes through lax.conv — must match it exactly."""
+        from gmdx.kernels.winograd import (
+            _conv3x3_reference,
+            winograd_conv3x3,
+        )
+
+        ks = jax.random.split(jax.random.key(1), 4)
+        x = jax.random.normal(ks[0], (1, 16, 16, 32), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 3, 32, 16)) * 0.1
+        bias = jax.random.normal(ks[2], (16,)) * 0.1
+        g = jax.random.normal(ks[3], (1, 16, 16, 16))
+        _, vjp_w = jax.vjp(
+            lambda x_, k_, b_: winograd_conv3x3(x_, k_, b_, interpret=True),
+            x, k, bias,
+        )
+        _, vjp_r = jax.vjp(_conv3x3_reference, x, k, bias)
+        for a, r in zip(vjp_w(g), vjp_r(g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r))
+
+    def test_tile_row_split_matches(self):
+        """The VMEM-pressure slab split (grid dim 2) must be numerically
+        identical to the single-slab path."""
+        from gmdx.kernels.winograd import _wino_conv
+
+        ks = jax.random.split(jax.random.key(2), 3)
+        x = jax.random.normal(ks[0], (2, 16, 16, 32), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 3, 32, 16)) * 0.1
+        bias = jax.random.normal(ks[2], (16,)) * 0.1
+        with jax.default_matmul_precision("highest"):
+            one = _wino_conv(x, k, bias, 1, True)
+            two = _wino_conv(x, k, bias, 2, True)
+        np.testing.assert_allclose(
+            np.asarray(one), np.asarray(two), rtol=1e-6, atol=1e-6
+        )
+
+    def test_unsupported_shapes_fall_back(self):
+        from gmdx.kernels.winograd import winograd_conv3x3
+
+        k = jnp.zeros((3, 3, 32, 32))
+        b = jnp.zeros((32,))
+        # odd spatial
+        assert winograd_conv3x3(
+            jnp.zeros((1, 17, 17, 32)), k, b, interpret=True
+        ) is None
+        # tiny spatial (matmuls cannot fill the MXU)
+        assert winograd_conv3x3(
+            jnp.zeros((1, 8, 8, 32)), k, b, interpret=True
+        ) is None
+        # non-square
+        assert winograd_conv3x3(
+            jnp.zeros((1, 16, 32, 32)), k, b, interpret=True
+        ) is None
+
+    def test_resnet_block_equivalence(self, monkeypatch):
+        """ResnetBlock2D with Winograd on vs off (same params, same math)."""
+        from gmdx.models.layers import ResnetBlock2D
+
+        m = ResnetBlock2D(32)
+        x = jax.random.normal(jax.random.key(0), (1, 16, 16, 32))
+        temb = jax.random.normal(jax.random.key(1), (1, 64))
+        p = m.init(jax.random.key(2), x, temb)
+        with jax.default_matmul_precision("highest"):
+            # CPU: dispatch falls back to the direct conv (not interpret).
+            direct = m.apply(p, x, temb)
+            from gmdx.kernels import winograd as wmod
+
+            wino = wmod.winograd_conv3x3(
+                x, p["params"]["conv1"]["kernel"],
+                p["params"]["conv1"]["bias"], interpret=True,
+            )
+            ref = wmod._conv3x3_reference(
+                jax.nn.silu(
+                    _gn_ref32(x, p["params"]["norm1"])
+                ),
+                p["params"]["conv1"]["kernel"],
+                p["params"]["conv1"]["bias"],
+            )
+        assert direct.shape == x.shape
+        assert wino.shape == (1, 16, 16, 32)
+
+
+def _gn_ref32(x, norm_params, groups=32, eps=1e-5):
+    import numpy as _np
+
+    scale = norm_params["norm"]["scale"]
+    bias = norm_params["norm"]["bias"]
+    sh = x.shape
+    c = sh[-1]
+    xf = x.astype(jnp.float32).reshape(sh[:-1] + (groups, c // groups))
+    ax = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+    mean = xf.mean(axis=ax, keepdims=True)
+    var = xf.var(axis=ax, keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(sh)
+    return y * scale + bias
+
+
 class TestCrossAttentionShortK:
     """Single-k-block cross-attention kernel vs the XLA reference.
 
