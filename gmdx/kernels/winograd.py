@@ -77,9 +77,10 @@ def _vmem_estimate(
     h: int, w: int, c: int, o: int, itemsize: int, split: int
 ) -> int:
     """Working-set estimate for one grid step processing 1/split of the
-    tile rows. Calibrated against Mosaic's scoped-vmem accounting (which
-    keeps all 16 fp32 d-plane upcasts + double-buffered blocks live): the
-    caller multiplies by _MOSAIC_FUDGE."""
+    tile rows and o output channels (the chunk width). Calibrated against
+    Mosaic's scoped-vmem accounting (which keeps all 16 fp32 d-plane
+    upcasts + double-buffered blocks live): the caller multiplies by
+    _MOSAIC_FUDGE."""
     t = (h // 2) * (w // 2) // split
     trs = h // 2 // split
     x_blk = (h + 2) * (w + 2) * c * itemsize  # whole image stays resident
@@ -102,34 +103,51 @@ def _vmem_estimate(
 _MOSAIC_FUDGE = 1.7
 
 
-def _pick_split(h: int, w: int, c: int, o: int, itemsize: int) -> int:
-    """Smallest tile-row split whose fudged working set fits VMEM."""
+def _pick_tiling(
+    h: int, w: int, c: int, o: int, itemsize: int
+) -> tuple[int, int]:
+    """(tile-row split, output-channel chunks) whose fudged working set
+    fits VMEM, or (0, 0) for fallback. Output chunking pays a V-transform
+    recompute per chunk, so prefer fewer chunks; the transformed weights
+    (16*C*Ochunk) are the fixed cost that forces chunking at the
+    1280-channel levels."""
     t_rows = h // 2
-    for split in (1, 2, 4, 8):
-        if t_rows % split:
+    for ochunks in (1, 2, 4, 5, 8):
+        if o % ochunks:
             continue
-        if t_rows // split < 4:
-            break  # matmul rows too few to fill the MXU
-        est = _vmem_estimate(h, w, c, o, itemsize, split)
-        if est * _MOSAIC_FUDGE <= _VMEM_CAP:
-            return split
-    return 0  # no viable split -> fallback
+        # Chunked blocks slice the lane dim: Mosaic requires the block's
+        # last dim be a 128 multiple (or the full array dim, the
+        # ochunks==1 case).
+        if ochunks > 1 and (o // ochunks) % 128:
+            continue
+        for split in (1, 2, 4, 8):
+            if t_rows % split:
+                continue
+            if t_rows // split < 4:
+                break  # matmul rows too few to fill the MXU
+            est = _vmem_estimate(h, w, c, o // ochunks, itemsize, split)
+            if est * _MOSAIC_FUDGE <= _VMEM_CAP:
+                return split, ochunks
+    return 0, 0
 
 
 def _wino_kernel(
     x_ref,  # VMEM (1, Tp, 2, Tp, 2C) padded image, parity-in-lanes (whole)
-    g_ref,  # VMEM (9*C, O) conv kernel, (k*3+l) tap-major rows
-    b_ref,  # VMEM (1, O) bias
-    o_ref,  # VMEM (1, 2, 2, Trs, Tc, O) phase-major output (row slab)
-    u_scr,  # VMEM (16*C, O) transformed weights, input dtype
+    g_ref,  # VMEM (9*C, Oc) conv kernel chunk, (k*3+l) tap-major rows
+    b_ref,  # VMEM (1, Oc) bias chunk
+    o_ref,  # VMEM (1, 2, 2, Trs, Tc, Oc) phase-major output slab/chunk
+    u_scr,  # VMEM (16*C, Oc) transformed weight chunk, input dtype
     *,
     trs: int,  # tile rows per grid step
     tc: int,  # tile columns
     c: int,
-    o_ch: int,
+    o_ch: int,  # output-channel chunk width
 ):
-    b_idx = pl.program_id(0)
-    s_idx = pl.program_id(1)
+    # Grid (ochunk, batch, row-slab), all sequential. The o-chunk axis is
+    # OUTERMOST so the weight transform below runs once per chunk (the
+    # (b, s) counters restart under each oc).
+    b_idx = pl.program_id(1)
+    s_idx = pl.program_id(2)
 
     @pl.when(jnp.logical_and(b_idx == 0, s_idx == 0))
     def _transform_weights():
@@ -255,12 +273,13 @@ def _conv3x3_reference(x: Array, kernel: Array, bias: Array) -> Array:
     return out + bias.astype(out.dtype)
 
 
-def _wino_forward(x, kernel, bias, split, interpret):
+def _wino_forward(x, kernel, bias, split, ochunks, interpret):
     b, h, w, c = x.shape
     o_ch = kernel.shape[-1]
     t_rows = h // 2
     tc = w // 2
     trs = t_rows // split
+    oc_w = o_ch // ochunks  # chunk width
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     tp = (h + 2) // 2
@@ -271,38 +290,39 @@ def _wino_forward(x, kernel, bias, split, interpret):
     b2 = bias.reshape(1, o_ch)
 
     (out,) = pl.pallas_call(
-        functools.partial(_wino_kernel, trs=trs, tc=tc, c=c, o_ch=o_ch),
-        grid=(b, split),
+        functools.partial(_wino_kernel, trs=trs, tc=tc, c=c, o_ch=oc_w),
+        grid=(ochunks, b, split),
         in_specs=[
             pl.BlockSpec(
-                (1, tp, 2, tp, 2 * c), lambda i, s: (i, 0, 0, 0, 0),
+                (1, tp, 2, tp, 2 * c), lambda oc, i, s: (i, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((9 * c, o_ch), lambda i, s: (0, 0),
+            pl.BlockSpec((9 * c, oc_w), lambda oc, i, s: (0, oc),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, o_ch), lambda i, s: (0, 0),
+            pl.BlockSpec((1, oc_w), lambda oc, i, s: (0, oc),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 2, 2, trs, tc, o_ch),
-                lambda i, s: (i, 0, 0, s, 0, 0),
+                (1, 2, 2, trs, tc, oc_w),
+                lambda oc, i, s: (i, 0, 0, s, 0, oc),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 2, 2, t_rows, tc, o_ch), x.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((16 * c, o_ch), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((16 * c, oc_w), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            # Sequential axes: the weight transform at grid step (0, 0)
+            # Sequential axes: the weight transform at grid step (oc, 0, 0)
             # must complete before later steps reuse the scratch.
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * 16 * t_rows * tc * c * o_ch,
-            bytes_accessed=(b * (h + 2) * (w + 2) * c + 9 * c * o_ch
+            bytes_accessed=(b * ochunks * (h + 2) * (w + 2) * c
+                            + 9 * c * o_ch
                             + b * h * w * o_ch) * x.dtype.itemsize,
             transcendentals=0,
         ),
@@ -313,16 +333,19 @@ def _wino_forward(x, kernel, bias, split, interpret):
     return out.transpose(0, 3, 1, 4, 2, 5).reshape(b, h, w, o_ch)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _wino_conv(x, kernel, bias, split, interpret=False):
-    return _wino_forward(x, kernel, bias, split, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _wino_conv(x, kernel, bias, split, ochunks=1, interpret=False):
+    return _wino_forward(x, kernel, bias, split, ochunks, interpret)
 
 
-def _wino_fwd(x, kernel, bias, split, interpret):
-    return _wino_conv(x, kernel, bias, split, interpret), (x, kernel, bias)
+def _wino_fwd(x, kernel, bias, split, ochunks, interpret):
+    return (
+        _wino_conv(x, kernel, bias, split, ochunks, interpret),
+        (x, kernel, bias),
+    )
 
 
-def _wino_bwd(split, interpret, res, g):
+def _wino_bwd(split, ochunks, interpret, res, g):
     x, kernel, bias = res
     _, vjp = jax.vjp(_conv3x3_reference, x, kernel, bias)
     return vjp(g)
@@ -355,12 +378,12 @@ def winograd_conv3x3(
         return None
     if c % 8 or o_ch % 8:
         return None
-    split = _pick_split(h, w, c, o_ch, x.dtype.itemsize)
+    split, ochunks = _pick_tiling(h, w, c, o_ch, x.dtype.itemsize)
     if split == 0:
         return None
     if jax.default_backend() != "tpu" and not interpret:
         return None
-    return _wino_conv(x, kernel, bias, split, interpret)
+    return _wino_conv(x, kernel, bias, split, ochunks, interpret)
 
 
 __all__ = ["winograd_conv3x3"]

@@ -507,10 +507,27 @@ class TestWinogradConv3x3:
         k = jax.random.normal(ks[1], (3, 3, 32, 16)) * 0.1
         bias = jax.random.normal(ks[2], (16,)) * 0.1
         with jax.default_matmul_precision("highest"):
-            one = _wino_conv(x, k, bias, 1, True)
-            two = _wino_conv(x, k, bias, 2, True)
+            one = _wino_conv(x, k, bias, 1, 1, True)
+            two = _wino_conv(x, k, bias, 2, 1, True)
         np.testing.assert_allclose(
             np.asarray(one), np.asarray(two), rtol=1e-6, atol=1e-6
+        )
+
+    def test_output_chunking_matches(self):
+        """Output-channel chunking (outermost grid dim, per-chunk weight
+        transform) must match the unchunked path — this is the 1280-level
+        coverage path."""
+        from gmdx.kernels.winograd import _wino_conv
+
+        ks = jax.random.split(jax.random.key(3), 3)
+        x = jax.random.normal(ks[0], (2, 16, 16, 32), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 3, 32, 32)) * 0.1
+        bias = jax.random.normal(ks[2], (32,)) * 0.1
+        with jax.default_matmul_precision("highest"):
+            one = _wino_conv(x, k, bias, 1, 1, True)
+            four = _wino_conv(x, k, bias, 2, 4, True)
+        np.testing.assert_allclose(
+            np.asarray(one), np.asarray(four), rtol=1e-6, atol=1e-6
         )
 
     def test_unsupported_shapes_fall_back(self):
