@@ -526,8 +526,9 @@ class TestWinogradConv3x3:
         with jax.default_matmul_precision("highest"):
             one = _wino_conv(x, k, bias, 1, 1, True)
             four = _wino_conv(x, k, bias, 2, 4, True)
+        # fp32-rounding tolerance: the slab/chunk tilings regroup sums.
         np.testing.assert_allclose(
-            np.asarray(one), np.asarray(four), rtol=1e-6, atol=1e-6
+            np.asarray(one), np.asarray(four), rtol=2e-5, atol=2e-5
         )
 
     def test_unsupported_shapes_fall_back(self):
