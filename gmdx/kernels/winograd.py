@@ -135,13 +135,15 @@ def _wino_kernel(
     x_ref,  # VMEM (1, Tp, 2, Tp, 2C) padded image, parity-in-lanes (whole)
     g_ref,  # VMEM (9*C, Oc) conv kernel chunk, (k*3+l) tap-major rows
     b_ref,  # VMEM (1, Oc) bias chunk
-    o_ref,  # VMEM (1, 2, 2, Trs, Tc, Oc) phase-major output slab/chunk
+    o_ref,  # parity_out: VMEM (1, Trs, 2, Tc, 2*O) parity-in-lanes slab;
+    #          else (1, 2, 2, Trs, Tc, Oc) phase-major slab/chunk
     u_scr,  # VMEM (16*C, Oc) transformed weight chunk, input dtype
     *,
     trs: int,  # tile rows per grid step
     tc: int,  # tile columns
     c: int,
     o_ch: int,  # output-channel chunk width
+    parity_out: bool,
 ):
     # Grid (ochunk, batch, row-slab), all sequential. The o-chunk axis is
     # OUTERMOST so the weight transform below runs once per chunk (the
@@ -249,17 +251,30 @@ def _wino_kernel(
                     term = m * coef
                     y[p][q] = term if y[p][q] is None else y[p][q] + term
 
-    # Phase-major write; the caller interleaves with one XLA transpose
-    # (the same depth-to-space pattern as the sub-pixel Upsample2D). An
-    # in-kernel 2x2 interleave (stack+reshape) hits an unsupported Mosaic
-    # shape cast on the matmul-flat planes; the XLA pass touches only the
-    # output tensor, which the in-kernel input phases already made the
-    # cheap side.
-    for p in range(2):
-        for q in range(2):
-            o_ref[0, p, q] = (
-                (y[p][q] + bias).astype(o_ref.dtype).reshape(trs, tc, o_ch)
-            )
+    if parity_out:
+        # Parity-in-lanes write: the output array is (B, T, 2, Tc, 2*O),
+        # which the caller reshapes to NHWC for FREE — no XLA
+        # depth-to-space pass (those passes were ~8% of the dual step).
+        # Each phase plane lands at one untiled index + one lane slice,
+        # the mirror of the input layout.
+        for p in range(2):
+            for q in range(2):
+                o_ref[0, :, p, :, q * o_ch : (q + 1) * o_ch] = (
+                    (y[p][q] + bias)
+                    .astype(o_ref.dtype)
+                    .reshape(trs, tc, o_ch)
+                )
+    else:
+        # Phase-major write + one XLA depth-to-space outside: required when
+        # output chunking is active (a parity-in-lanes chunk would be two
+        # disjoint lane ranges — not a contiguous block).
+        for p in range(2):
+            for q in range(2):
+                o_ref[0, p, q] = (
+                    (y[p][q] + bias)
+                    .astype(o_ref.dtype)
+                    .reshape(trs, tc, o_ch)
+                )
 
 
 def _conv3x3_reference(x: Array, kernel: Array, bias: Array) -> Array:
@@ -289,8 +304,31 @@ def _wino_forward(x, kernel, bias, split, ochunks, interpret):
     g2 = kernel.reshape(9 * c, o_ch)
     b2 = bias.reshape(1, o_ch)
 
+    parity_out = ochunks == 1
+    if parity_out:
+        out_spec = pl.BlockSpec(
+            (1, trs, 2, tc, 2 * o_ch),
+            lambda oc, i, s: (i, s, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (b, t_rows, 2, tc, 2 * o_ch), x.dtype
+        )
+    else:
+        out_spec = pl.BlockSpec(
+            (1, 2, 2, trs, tc, oc_w),
+            lambda oc, i, s: (i, 0, 0, s, 0, oc),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (b, 2, 2, t_rows, tc, o_ch), x.dtype
+        )
+
     (out,) = pl.pallas_call(
-        functools.partial(_wino_kernel, trs=trs, tc=tc, c=c, o_ch=oc_w),
+        functools.partial(
+            _wino_kernel, trs=trs, tc=tc, c=c, o_ch=oc_w,
+            parity_out=parity_out,
+        ),
         grid=(ochunks, b, split),
         in_specs=[
             pl.BlockSpec(
@@ -302,16 +340,8 @@ def _wino_forward(x, kernel, bias, split, ochunks, interpret):
             pl.BlockSpec((1, oc_w), lambda oc, i, s: (0, oc),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, 2, 2, trs, tc, oc_w),
-                lambda oc, i, s: (i, 0, 0, s, 0, oc),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 2, 2, t_rows, tc, o_ch), x.dtype),
-        ],
+        out_specs=[out_spec],
+        out_shape=[out_shape],
         scratch_shapes=[pltpu.VMEM((16 * c, oc_w), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             # Sequential axes: the weight transform at grid step (oc, 0, 0)
@@ -328,6 +358,9 @@ def _wino_forward(x, kernel, bias, split, ochunks, interpret):
         ),
         interpret=interpret,
     )(xl, g2, b2)
+    if parity_out:
+        # (B, T, 2, Tc, 2*O) -> (B, H, W, O): FREE, row-major compatible.
+        return out.reshape(b, h, w, o_ch)
     # Phase-major (B, 2, 2, T, T, O) -> (B, H, W, O): same depth-to-space
     # pattern as the sub-pixel Upsample2D.
     return out.transpose(0, 3, 1, 4, 2, 5).reshape(b, h, w, o_ch)
