@@ -39,8 +39,13 @@ Kernel design (see /opt/skills/guides/pallas_guide.md):
   * VMEM pressure is managed by splitting tile ROWS across a second
     sequential grid dim (whole-image input block stays resident; compute
     and output slabs shrink 1/split).
-  * Training: custom VJP recomputes through lax.conv_general_dilated — XLA's
-    native conv gradients, so backward cost and numerics are unchanged.
+  * Training: under AD the custom-VJP forward rule routes the PRIMAL
+    through the direct XLA conv too by default (not just the backward) —
+    custom-call boundaries pin conv inputs as opaque residuals and block
+    XLA's pad-fusion/remat scheduling, which RESOURCE_EXHAUSTED the
+    batch-8 512^2 Stage-2 step. GMDX_WINOGRAD_TRAIN=1 opts the kernel
+    primal back in where memory allows (measured 6.9% faster at batch 4).
+    Backward is always XLA's native conv gradients.
 
 Replaces nothing in the reference (its convs run through cuDNN); this is
 TPU-native performance work on the same math.
@@ -372,10 +377,20 @@ def _wino_conv(x, kernel, bias, split, ochunks=1, interpret=False):
 
 
 def _wino_fwd(x, kernel, bias, split, ochunks, interpret):
-    return (
-        _wino_conv(x, kernel, bias, split, ochunks, interpret),
-        (x, kernel, bias),
-    )
+    # Under differentiation (training), the primal defaults to the DIRECT
+    # XLA conv, not the Pallas kernel: custom-call boundaries pin every
+    # conv input as an opaque residual and block XLA's pad-fusion/remat
+    # scheduling — with the kernel in the differentiated path the batch-8
+    # 512^2 Stage-2 step RESOURCE_EXHAUSTED where the direct path fits.
+    # Measured at batch 4 (where both fit) the kernel primal is 6.9%
+    # faster (260.2 vs 278.2 ms/step) — GMDX_WINOGRAD_TRAIN=1 opts in for
+    # memory-headroom configs. Inference paths (no VJP rule engaged)
+    # always use the kernel.
+    if os.environ.get("GMDX_WINOGRAD_TRAIN", "0") == "1":
+        out = _wino_conv(x, kernel, bias, split, ochunks, interpret)
+    else:
+        out = _conv3x3_reference(x, kernel, bias)
+    return out, (x, kernel, bias)
 
 
 def _wino_bwd(split, ochunks, interpret, res, g):
