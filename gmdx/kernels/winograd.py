@@ -79,7 +79,8 @@ _VMEM_CAP = 100 * 1024 * 1024
 
 
 def _vmem_estimate(
-    h: int, w: int, c: int, o: int, itemsize: int, split: int
+    h: int, w: int, c: int, o: int, itemsize: int, split: int,
+    g_itemsize: int = 4,
 ) -> int:
     """Working-set estimate for one grid step processing 1/split of the
     tile rows and o output channels (the chunk width). Calibrated against
@@ -95,7 +96,7 @@ def _vmem_estimate(
     y_acc = 4 * t * o * 4  # fp32 output-transform accumulators
     m_tmp = 2 * t * o * 4  # one live matmul output + a scaled copy
     u_scr = 16 * c * o * itemsize  # transformed weights (scratch)
-    g_in = 9 * c * o * itemsize
+    g_in = 9 * c * o * g_itemsize  # raw weights, PARAM dtype (usually fp32)
     out_blk = 4 * t * o * itemsize
     return (
         x_blk + slab + d_planes + v_f32 + y_acc + m_tmp + u_scr + g_in
@@ -109,7 +110,7 @@ _MOSAIC_FUDGE = 1.7
 
 
 def _pick_tiling(
-    h: int, w: int, c: int, o: int, itemsize: int
+    h: int, w: int, c: int, o: int, itemsize: int, g_itemsize: int
 ) -> tuple[int, int]:
     """(tile-row split, output-channel chunks) whose fudged working set
     fits VMEM, or (0, 0) for fallback. Output chunking pays a V-transform
@@ -130,7 +131,9 @@ def _pick_tiling(
                 continue
             if t_rows // split < 4:
                 break  # matmul rows too few to fill the MXU
-            est = _vmem_estimate(h, w, c, o // ochunks, itemsize, split)
+            est = _vmem_estimate(
+                h, w, c, o // ochunks, itemsize, split, g_itemsize
+            )
             if est * _MOSAIC_FUDGE <= _VMEM_CAP:
                 return split, ochunks
     return 0, 0
@@ -426,7 +429,22 @@ def winograd_conv3x3(
         return None
     if c % 8 or o_ch % 8:
         return None
-    split, ochunks = _pick_tiling(h, w, c, o_ch, x.dtype.itemsize)
+    # Prefer feeding weights in their PARAM dtype (usually fp32): a
+    # pre-cast materializes an unfused convert_element_type per conv per
+    # denoise step (custom-call operands cannot fuse). But an fp32 g block
+    # costs 2x VMEM, and at the 1280-channel levels that forced a WORSE
+    # tiling or a fallback — measured net -0.4% on the dual bench. So:
+    # keep the param dtype only when the tiling decision is unchanged;
+    # otherwise cast and accept the (smaller) convert cost.
+    tiling_x = _pick_tiling(h, w, c, o_ch, x.dtype.itemsize, x.dtype.itemsize)
+    if kernel.dtype != x.dtype:
+        tiling_g = _pick_tiling(
+            h, w, c, o_ch, x.dtype.itemsize, kernel.dtype.itemsize
+        )
+        if tiling_g != tiling_x:
+            kernel = kernel.astype(x.dtype)
+            bias = bias.astype(x.dtype)
+    split, ochunks = tiling_x
     if split == 0:
         return None
     if jax.default_backend() != "tpu" and not interpret:

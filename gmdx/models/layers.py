@@ -382,20 +382,23 @@ class _Conv3x3Dispatch(nn.Module):
             (3, 3, x.shape[-1], self.features),
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
-        kernel = kernel.astype(self.dtype)
-        bias = bias.astype(self.dtype)
         x = x.astype(self.dtype)
 
         from gmdx.kernels.winograd import winograd_conv3x3
 
+        # The kernel/bias stay in the PARAM dtype: the Winograd weight
+        # transform upcasts to fp32 in-kernel anyway, and a pre-cast would
+        # materialize an unfused convert_element_type of every conv weight
+        # on every denoise step (custom-call operands cannot fuse; ~2% of
+        # the dual step at the 1280-channel levels, BENCHNOTES.md).
         out = winograd_conv3x3(x, kernel, bias)
         if out is not None:
             return out
         out = jax.lax.conv_general_dilated(
-            x, kernel, (1, 1), ((1, 1), (1, 1)),
+            x, kernel.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return out + bias
+        return out + bias.astype(self.dtype)
 
 
 class ResnetBlock2D(nn.Module):

@@ -230,6 +230,11 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--out", default=None, help="trace dir (default: tmp)")
+    ap.add_argument(
+        "--category", default=None,
+        help="restrict the top-ops list to one HLO category "
+             "(e.g. 'data formatting', 'loop fusion')",
+    )
     args = ap.parse_args()
 
     import jax
@@ -253,10 +258,10 @@ def main():
     if not xplanes:
         raise SystemExit(f"no xplane.pb under {trace_dir}")
     print(f"trace: {xplanes[0]}")
-    report(xplanes, args.top, args.iters)
+    report(xplanes, args.top, args.iters, args.category)
 
 
-def report(xplanes, top, iters):
+def report(xplanes, top, iters, category=None):
     """Print per-HLO-category and per-op device time from the XPlane."""
     from xprof.convert import raw_to_tool_data
 
@@ -291,7 +296,11 @@ def report(xplanes, top, iters):
     print("\n== by category ==")
     for cat, t in sorted(cats.items(), key=lambda kv: -kv[1]):
         print(f"{t/total*100:5.1f}%  {t/1e3:8.2f} ms  {cat}")
-    print(f"\n== top {top} ops ==")
+    if category:
+        ops = [o for o in ops if o[1] == category]
+        print(f"\n== top {top} '{category}' ops ==")
+    else:
+        print(f"\n== top {top} ops ==")
     ops.sort(key=lambda o: -o[0])
     for t, cat, name, fw, bound in ops[:top]:
         print(
