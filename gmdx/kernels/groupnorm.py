@@ -125,25 +125,32 @@ def _gn_silu_reference(x, scale, bias, num_groups, eps, activate):
     return y.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _gn_silu_pallas(x, scale, bias, num_groups, eps, activate, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _gn_silu_pallas(
+    x, scale, bias, num_groups, eps, activate, interpret, pad_output=False
+):
     out, _stats = _gn_forward(
-        x, scale, bias, num_groups, eps, activate, interpret
+        x, scale, bias, num_groups, eps, activate, interpret,
+        pad_output=pad_output,
     )
     return out
 
 
-def _gn_fwd(x, scale, bias, num_groups, eps, activate, interpret):
+def _gn_fwd(x, scale, bias, num_groups, eps, activate, interpret, pad_output):
     out, stats = _gn_forward(
-        x, scale, bias, num_groups, eps, activate, interpret
+        x, scale, bias, num_groups, eps, activate, interpret,
+        pad_output=pad_output,
     )
     return out, (x, scale, bias, stats)
 
 
-def _gn_bwd(num_groups, eps, activate, interpret, res, g):
+def _gn_bwd(num_groups, eps, activate, interpret, pad_output, res, g):
     x, scale, bias, stats = res
     import os
 
+    if pad_output:
+        # The padded border is constant zero: its cotangent does not flow.
+        g = g[:, 1:-1, 1:-1, :]
     if os.environ.get("GMDX_FUSED_GN_BWD", "1") == "0":
         # XLA recompute fallback: differentiate the jnp mirror.
         _, vjp = jax.vjp(
@@ -322,10 +329,16 @@ def fused_group_norm_silu(
     eps: float = 1e-5,
     activate: bool = True,
     interpret: bool = False,
+    pad_output: bool = False,
 ):
     """Fused GN(+SiLU) over NHWC. Returns None when the shape doesn't tile
     (caller falls back to the jnp path). Differentiable: forward runs the
-    Pallas kernels, backward recomputes through the jnp mirror."""
+    Pallas kernels, backward recomputes through the jnp mirror.
+
+    ``pad_output=True`` writes the 1-px zero-padded image (B, H+2, W+2, C)
+    — the exact input of a following 3x3 SAME conv (the Winograd kernel
+    consumes it directly, skipping the XLA pad pass). Callers should gate
+    on :func:`gn_onepass_eligible`."""
     if x.ndim != 4:
         return None
     b, h, w, c = x.shape
@@ -336,7 +349,9 @@ def fused_group_norm_silu(
     # largest 64x64 activations).
     if c % num_groups != 0 or hw % 8 != 0:
         return None
-    return _gn_silu_pallas(x, scale, bias, num_groups, eps, activate, interpret)
+    return _gn_silu_pallas(
+        x, scale, bias, num_groups, eps, activate, interpret, pad_output
+    )
 
 
 def _gn_onepass_kernel(
@@ -355,6 +370,16 @@ def _gn_onepass_kernel(
     one HBM read + one write, vs the blocked kernels' two reads + one write.
     All SD-1.5 UNet activation shapes qualify (64x64x320 bf16 = 2.6 MB)."""
     x = x_ref[0].astype(jnp.float32)  # (hw, C)
+    y, stats = _gn_onepass_math(
+        x, scale_ref, bias_ref, num_groups, n_elems, eps, activate
+    )
+    o_ref[0] = y.astype(o_ref.dtype)
+    stats_ref[0] = stats
+
+
+def _gn_onepass_math(x, scale_ref, bias_ref, num_groups, n_elems, eps,
+                     activate):
+    """Shared one-pass GN math over a flat (hw, C) fp32 image."""
     c = x.shape[1]
     onehot = _group_onehot(c, num_groups)
     colsum = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
@@ -373,24 +398,109 @@ def _gn_onepass_kernel(
     )
     if activate:
         y = y * jax.nn.sigmoid(y)
-    o_ref[0] = y.astype(o_ref.dtype)
-    stats_ref[0] = jnp.concatenate([gsum, gsq], axis=0)
+    return y, jnp.concatenate([gsum, gsq], axis=0)
+
+
+def _gn_onepass_pad_kernel(
+    x_ref,  # VMEM (1, H, W, C) — one full image, 4D
+    scale_ref,  # VMEM (1, C)
+    bias_ref,  # VMEM (1, C)
+    o_ref,  # VMEM (1, H+2, W+2, C) — zero-bordered padded output
+    stats_ref,  # VMEM (1, 2, G)
+    *,
+    num_groups: int,
+    n_elems: int,
+    eps: float,
+    activate: bool,
+    h: int,
+    w: int,
+):
+    """One-pass GN(+SiLU) that writes the 1-px ZERO-PADDED image — the
+    exact input of a following 3x3 SAME conv. Feeding the Winograd conv
+    kernel this way deletes the XLA pad pass between GN and conv (those
+    pad/reshape materializations measured ~2.5% of the dual step,
+    BENCHNOTES.md). The pad is VMEM concats: rows on the untiled dim,
+    columns a sublane shift."""
+    c = x_ref.shape[3]
+    x = x_ref[0].reshape(h * w, c).astype(jnp.float32)  # free leading merge
+    y, stats = _gn_onepass_math(
+        x, scale_ref, bias_ref, num_groups, n_elems, eps, activate
+    )
+    y = y.astype(o_ref.dtype).reshape(h, w, c)
+    zrow = jnp.zeros((1, w, c), o_ref.dtype)
+    y = jnp.concatenate([zrow, y, zrow], axis=0)  # (h+2, w, c)
+    zcol = jnp.zeros((h + 2, 1, c), o_ref.dtype)
+    o_ref[0] = jnp.concatenate([zcol, y, zcol], axis=1)
+    stats_ref[0] = stats
 
 
 # Whole-image VMEM budget for the one-pass kernel: the input block in its
-# own dtype. The fp32 compute copy and the output block roughly 5x this, so
-# 4 MB keeps the scoped allocation comfortably inside v5e VMEM while
-# covering every SD-1.5 UNet shape (max 64x64x960 bf16 = 7.9 MB is over —
-# concat resnet inputs at 64x64 use the blocked path; 64x64x320/640 and all
-# deeper levels qualify) plus the VAE's 64x64x512 mid blocks.
-_ONEPASS_BUDGET = 4 * 1024 * 1024
+# own dtype. The fp32 compute copy and the output block roughly 5x this;
+# 8 MB (~45 MB scoped incl. the raised vmem_limit) covers every SD-1.5
+# UNet activation shape at 512^2 — including the 64x64x960 concat resnet
+# inputs — plus the VAE's 64x64 mid blocks, while the VAE decode tail
+# (128x128x512 = 16 MB and up) keeps the blocked path.
+_ONEPASS_BUDGET = 8 * 1024 * 1024
 
 
-def _gn_forward(x, scale, bias, num_groups, eps, activate, interpret):
+def gn_onepass_eligible(shape, itemsize: int, num_groups: int = 32) -> bool:
+    """Whether fused_group_norm_silu would take the one-pass path (and so
+    supports ``pad_output``) for an NHWC shape."""
+    if len(shape) != 4:
+        return False
+    b, h, w, c = shape
+    hw = h * w
+    if c % num_groups or hw % 8:
+        return False
+    return hw * c * itemsize <= _ONEPASS_BUDGET
+
+
+def _gn_forward(x, scale, bias, num_groups, eps, activate, interpret,
+                pad_output=False):
     b, h, w, c = x.shape
     hw = h * w
     gsize = c // num_groups
     xf = x.reshape(b, hw, c)
+
+    if pad_output:
+        if not gn_onepass_eligible(x.shape, x.dtype.itemsize, num_groups):
+            # Safety fallback (callers gate on gn_onepass_eligible): plain
+            # GN + an XLA pad — the status-quo cost.
+            out, stats = _gn_forward(
+                x, scale, bias, num_groups, eps, activate, interpret
+            )
+            return jnp.pad(out, ((0, 0), (1, 1), (1, 1), (0, 0))), stats
+        out, stats = pl.pallas_call(
+            functools.partial(
+                _gn_onepass_pad_kernel, num_groups=num_groups,
+                n_elems=hw * gsize, eps=eps, activate=activate, h=h, w=w,
+            ),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, h + 2, w + 2, c), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, num_groups), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h + 2, w + 2, c), x.dtype),
+                jax.ShapeDtypeStruct((b, 2, num_groups), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(x, scale.reshape(1, c), bias.reshape(1, c))
+        return out, stats
 
     if hw * c * x.dtype.itemsize <= _ONEPASS_BUDGET:
         out, stats = pl.pallas_call(
@@ -477,4 +587,4 @@ def _gn_forward(x, scale, bias, num_groups, eps, activate, interpret):
     return out.reshape(b, h, w, c), stats
 
 
-__all__ = ["fused_group_norm_silu"]
+__all__ = ["fused_group_norm_silu", "gn_onepass_eligible"]

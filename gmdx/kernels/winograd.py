@@ -296,15 +296,33 @@ def _conv3x3_reference(x: Array, kernel: Array, bias: Array) -> Array:
     return out + bias.astype(out.dtype)
 
 
-def _wino_forward(x, kernel, bias, split, ochunks, interpret):
-    b, h, w, c = x.shape
+def _conv3x3_valid(xp: Array, kernel: Array, bias: Array) -> Array:
+    """The pre-padded twin of :func:`_conv3x3_reference` (VALID over a
+    1-px zero-bordered input is the same map as SAME over the raw one)."""
+    out = jax.lax.conv_general_dilated(
+        xp,
+        kernel.astype(xp.dtype),
+        (1, 1),
+        "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + bias.astype(out.dtype)
+
+
+def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret):
+    if pre_padded:
+        xp = x
+        b, hp, wp, c = x.shape
+        h, w = hp - 2, wp - 2
+    else:
+        b, h, w, c = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     o_ch = kernel.shape[-1]
     t_rows = h // 2
     tc = w // 2
     trs = t_rows // split
     oc_w = o_ch // ochunks  # chunk width
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     tp = (h + 2) // 2
     # FREE reshape (row-major compatible, no copy): row parity splits into
     # an untiled dim, column parity merges into the LANE dim.
@@ -374,12 +392,15 @@ def _wino_forward(x, kernel, bias, split, ochunks, interpret):
     return out.transpose(0, 3, 1, 4, 2, 5).reshape(b, h, w, o_ch)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _wino_conv(x, kernel, bias, split, ochunks=1, interpret=False):
-    return _wino_forward(x, kernel, bias, split, ochunks, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _wino_conv(x, kernel, bias, split, ochunks=1, pre_padded=False,
+               interpret=False):
+    return _wino_forward(
+        x, kernel, bias, split, ochunks, pre_padded, interpret
+    )
 
 
-def _wino_fwd(x, kernel, bias, split, ochunks, interpret):
+def _wino_fwd(x, kernel, bias, split, ochunks, pre_padded, interpret):
     # Under differentiation (training), the primal defaults to the DIRECT
     # XLA conv, not the Pallas kernel: custom-call boundaries pin every
     # conv input as an opaque residual and block XLA's pad-fusion/remat
@@ -390,19 +411,43 @@ def _wino_fwd(x, kernel, bias, split, ochunks, interpret):
     # memory-headroom configs. Inference paths (no VJP rule engaged)
     # always use the kernel.
     if os.environ.get("GMDX_WINOGRAD_TRAIN", "0") == "1":
-        out = _wino_conv(x, kernel, bias, split, ochunks, interpret)
+        out = _wino_conv(
+            x, kernel, bias, split, ochunks, pre_padded, interpret
+        )
     else:
-        out = _conv3x3_reference(x, kernel, bias)
+        ref = _conv3x3_valid if pre_padded else _conv3x3_reference
+        out = ref(x, kernel, bias)
     return out, (x, kernel, bias)
 
 
-def _wino_bwd(split, ochunks, interpret, res, g):
+def _wino_bwd(split, ochunks, pre_padded, interpret, res, g):
     x, kernel, bias = res
-    _, vjp = jax.vjp(_conv3x3_reference, x, kernel, bias)
+    ref = _conv3x3_valid if pre_padded else _conv3x3_reference
+    _, vjp = jax.vjp(ref, x, kernel, bias)
     return vjp(g)
 
 
 _wino_conv.defvjp(_wino_fwd, _wino_bwd)
+
+
+def winograd_eligible(
+    shape, out_ch: int, itemsize: int, interpret: bool = False
+) -> bool:
+    """Whether :func:`winograd_conv3x3` would dispatch for an UNPADDED
+    NHWC input shape (trace-time; lets producers pre-arrange the padded
+    layout the kernel consumes)."""
+    if os.environ.get("GMDX_WINOGRAD", "1") != "1":
+        return False
+    if len(shape) != 4:
+        return False
+    b, h, w, c = shape
+    if h != w or h % 2 or h < 16:
+        return False
+    if c % 8 or out_ch % 8:
+        return False
+    if _pick_tiling(h, w, c, out_ch, itemsize, itemsize) == (0, 0):
+        return False
+    return interpret or jax.default_backend() == "tpu"
 
 
 def winograd_conv3x3(
@@ -410,9 +455,14 @@ def winograd_conv3x3(
     kernel: Array,
     bias: Array,
     *,
+    pre_padded: bool = False,
     interpret: bool = False,
 ) -> Array | None:
     """3x3 stride-1 SAME conv over NHWC via Winograd F(2x2, 3x3).
+
+    ``pre_padded=True`` takes the 1-px zero-bordered image (B, H+2, W+2, C)
+    — e.g. straight from the pad-emitting GroupNorm kernel — and skips the
+    XLA pad pass.
 
     Returns None when the shape is unsupported (odd/non-square spatial,
     tiny grids where the matmuls cannot fill the MXU, or a working set past
@@ -424,6 +474,8 @@ def winograd_conv3x3(
     if x.ndim != 4 or kernel.shape[:2] != (3, 3):
         return None
     b, h, w, c = x.shape
+    if pre_padded:
+        h, w = h - 2, w - 2
     o_ch = kernel.shape[-1]
     if h != w or h % 2 or h < 16:
         return None
@@ -449,7 +501,7 @@ def winograd_conv3x3(
         return None
     if jax.default_backend() != "tpu" and not interpret:
         return None
-    return _wino_conv(x, kernel, bias, split, ochunks, interpret)
+    return _wino_conv(x, kernel, bias, split, ochunks, pre_padded, interpret)
 
 
-__all__ = ["winograd_conv3x3"]
+__all__ = ["winograd_conv3x3", "winograd_eligible"]

@@ -84,7 +84,13 @@ class GroupNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, activate: bool = False) -> Array:
+    def __call__(
+        self, x: Array, activate: bool = False, pad_output: bool = False
+    ) -> Array:
+        """``pad_output=True`` (TPU fused path only — callers gate on
+        :func:`_gn_pads_conv_ok`) emits the 1-px zero-padded image that a
+        following Winograd 3x3 conv consumes directly, deleting the XLA
+        pad pass between GN and conv."""
         import os
 
         c = x.shape[-1]
@@ -107,7 +113,7 @@ class GroupNorm(nn.Module):
             out = fused_group_norm_silu(
                 x, scale, bias,
                 num_groups=self.num_groups, eps=self.epsilon,
-                activate=activate,
+                activate=activate, pad_output=pad_output,
             )
             if out is not None:
                 return out
@@ -123,7 +129,10 @@ class GroupNorm(nn.Module):
         y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
         if activate:
             y = nn.silu(y)
-        return y.astype(orig_dtype)
+        y = y.astype(orig_dtype)
+        if pad_output:  # non-fused fallback: pad outside (status quo cost)
+            y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        return y
 
 
 class _Kernel(nn.Module):
@@ -375,11 +384,12 @@ class _Conv3x3Dispatch(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, pre_padded: bool = False) -> Array:
+        in_ch = x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (3, 3, x.shape[-1], self.features),
+            (3, 3, in_ch, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
         x = x.astype(self.dtype)
@@ -391,11 +401,12 @@ class _Conv3x3Dispatch(nn.Module):
         # materialize an unfused convert_element_type of every conv weight
         # on every denoise step (custom-call operands cannot fuse; ~2% of
         # the dual step at the 1280-channel levels, BENCHNOTES.md).
-        out = winograd_conv3x3(x, kernel, bias)
+        out = winograd_conv3x3(x, kernel, bias, pre_padded=pre_padded)
         if out is not None:
             return out
+        pad = "VALID" if pre_padded else ((1, 1), (1, 1))
         out = jax.lax.conv_general_dilated(
-            x, kernel.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+            x, kernel.astype(self.dtype), (1, 1), pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         return out + bias.astype(self.dtype)
@@ -410,16 +421,44 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, temb: Optional[Array] = None) -> Array:
+        import os
+
         in_channels = x.shape[-1]
-        h = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm1")(x, activate=True)
-        h = _Conv3x3Dispatch(self.out_channels, dtype=self.dtype, name="conv1")(h)
+
+        def _gn_pads_conv_ok(shape, out_ch):
+            """Route GN output straight into the Winograd conv in the
+            padded layout — requires BOTH the one-pass GN kernel (whole
+            image in VMEM) and a Winograd dispatch for the conv."""
+            from gmdx.kernels.groupnorm import gn_onepass_eligible
+            from gmdx.kernels.winograd import winograd_eligible
+
+            itemsize = jnp.dtype(self.dtype).itemsize
+            return (
+                os.environ.get("GMDX_FUSED_GN", "1") != "0"
+                and jax.default_backend() == "tpu"
+                and gn_onepass_eligible(shape, itemsize)
+                and winograd_eligible(shape, out_ch, itemsize)
+            )
+
+        pad1 = _gn_pads_conv_ok(x.shape, self.out_channels)
+        h = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm1")(
+            x, activate=True, pad_output=pad1
+        )
+        h = _Conv3x3Dispatch(self.out_channels, dtype=self.dtype, name="conv1")(
+            h, pre_padded=pad1
+        )
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm2")(h, activate=True)
-        h = _Conv3x3Dispatch(self.out_channels, dtype=self.dtype, name="conv2")(h)
+        pad2 = _gn_pads_conv_ok(h.shape, self.out_channels)
+        h = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm2")(
+            h, activate=True, pad_output=pad2
+        )
+        h = _Conv3x3Dispatch(self.out_channels, dtype=self.dtype, name="conv2")(
+            h, pre_padded=pad2
+        )
         if in_channels != self.out_channels:
             x = nn.Conv(
                 self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"

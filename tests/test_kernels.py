@@ -182,6 +182,66 @@ class TestFusedGroupNorm:
             np.asarray(one), np.asarray(blocked), rtol=1e-5, atol=1e-5
         )
 
+    def test_pad_output_matches_pad_of_reference(self):
+        """pad_output=True must equal GN(+SiLU) followed by a 1-px zero
+        pad — the layout the Winograd conv kernel consumes directly."""
+        from gmdx.kernels.groupnorm import (
+            _gn_silu_reference,
+            fused_group_norm_silu,
+        )
+
+        x = jax.random.normal(jax.random.key(0), (2, 16, 16, 64))
+        s = 1 + 0.1 * jax.random.normal(jax.random.key(1), (64,))
+        b = 0.1 * jax.random.normal(jax.random.key(2), (64,))
+        out = fused_group_norm_silu(
+            x, s, b, num_groups=32, interpret=True, pad_output=True
+        )
+        ref = jnp.pad(
+            _gn_silu_reference(x, s, b, 32, 1e-5, True),
+            ((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+        assert out.shape == (2, 18, 18, 64)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+    def test_pad_output_grads(self):
+        """The padded border is constant: cotangents must flow only from
+        the interior (custom-VJP slices g)."""
+        from gmdx.kernels.groupnorm import (
+            _gn_silu_reference,
+            fused_group_norm_silu,
+        )
+
+        x = jax.random.normal(jax.random.key(0), (1, 8, 8, 64))
+        s = 1 + 0.1 * jax.random.normal(jax.random.key(1), (64,))
+        b = 0.1 * jax.random.normal(jax.random.key(2), (64,))
+        g = jax.random.normal(jax.random.key(3), (1, 10, 10, 64))
+
+        def f(x, s, b):
+            return jnp.sum(
+                fused_group_norm_silu(
+                    x, s, b, num_groups=32, interpret=True, pad_output=True
+                )
+                * g
+            )
+
+        def fr(x, s, b):
+            return jnp.sum(
+                jnp.pad(
+                    _gn_silu_reference(x, s, b, 32, 1e-5, True),
+                    ((0, 0), (1, 1), (1, 1), (0, 0)),
+                )
+                * g
+            )
+
+        ga = jax.grad(f, argnums=(0, 1, 2))(x, s, b)
+        gr = jax.grad(fr, argnums=(0, 1, 2))(x, s, b)
+        for a, r in zip(ga, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), rtol=1e-4, atol=1e-4
+            )
+
     def test_onepass_pallas_backward_matches(self, monkeypatch):
         """dx/dscale/dbias from the Pallas backward must be identical
         whichever forward produced the stats residual."""
@@ -507,8 +567,8 @@ class TestWinogradConv3x3:
         k = jax.random.normal(ks[1], (3, 3, 32, 16)) * 0.1
         bias = jax.random.normal(ks[2], (16,)) * 0.1
         with jax.default_matmul_precision("highest"):
-            one = _wino_conv(x, k, bias, 1, 1, True)
-            two = _wino_conv(x, k, bias, 2, 1, True)
+            one = _wino_conv(x, k, bias, 1, 1, False, True)
+            two = _wino_conv(x, k, bias, 2, 1, False, True)
         np.testing.assert_allclose(
             np.asarray(one), np.asarray(two), rtol=1e-6, atol=1e-6
         )
@@ -524,11 +584,32 @@ class TestWinogradConv3x3:
         k = jax.random.normal(ks[1], (3, 3, 32, 32)) * 0.1
         bias = jax.random.normal(ks[2], (32,)) * 0.1
         with jax.default_matmul_precision("highest"):
-            one = _wino_conv(x, k, bias, 1, 1, True)
-            four = _wino_conv(x, k, bias, 2, 4, True)
+            one = _wino_conv(x, k, bias, 1, 1, False, True)
+            four = _wino_conv(x, k, bias, 2, 4, False, True)
         # fp32-rounding tolerance: the slab/chunk tilings regroup sums.
         np.testing.assert_allclose(
             np.asarray(one), np.asarray(four), rtol=2e-5, atol=2e-5
+        )
+
+    def test_pre_padded_matches_same_conv(self):
+        """pre_padded=True over a zero-bordered input == SAME conv over
+        the raw input (the pad-emitting GroupNorm handoff)."""
+        from gmdx.kernels.winograd import (
+            _conv3x3_reference,
+            winograd_conv3x3,
+        )
+
+        ks = jax.random.split(jax.random.key(4), 3)
+        x = jax.random.normal(ks[0], (2, 16, 16, 32), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 3, 32, 16)) * 0.1
+        bias = jax.random.normal(ks[2], (16,)) * 0.1
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        with jax.default_matmul_precision("highest"):
+            out = winograd_conv3x3(xp, k, bias, pre_padded=True,
+                                   interpret=True)
+            ref = _conv3x3_reference(x, k, bias)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
     def test_unsupported_shapes_fall_back(self):
