@@ -24,7 +24,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from gmdx.utils import enable_compilation_cache
+from gmdx.utils import enable_compilation_cache, sync
 
 enable_compilation_cache()  # default-on persistent cache; warm runs skip compile
 
@@ -94,15 +94,14 @@ def main() -> None:
     fn, args = build()
     print("compiling + warmup...", flush=True)
     t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
+    sync(fn(*args))  # scalar-readback barrier: block_until_ready alone can
+    # return early on tunneled backends (gmdx.utils.sync docstring)
     print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
 
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        sync(fn(*args))
         times.append(time.perf_counter() - t0)
     best = min(times)
     img_per_s = BATCH / best

@@ -6,6 +6,7 @@ from gmdx.utils.profiling import (
     annotate,
     device_memory_stats,
     enable_compilation_cache,
+    sync,
     trace,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "annotate",
     "device_memory_stats",
     "enable_compilation_cache",
+    "sync",
     "trace",
 ]

@@ -102,6 +102,29 @@ def annotate(name: str):
         yield
 
 
+def sync(tree):
+    """True device barrier: block until every array in ``tree`` is computed.
+
+    On some remote/tunneled backends (observed on the experimental ``axon``
+    platform) ``jax.block_until_ready`` can return before the first dispatch
+    of a freshly loaded executable has actually finished — which silently
+    breaks wall-clock timing (bench.py once measured a 50-step 512² pipeline
+    at 2 ms). A device→host read of a value *derived from* each output cannot
+    complete before the producing computation does, so after the ordinary
+    ``block_until_ready`` this fetches one element of every array leaf back
+    to the host (a few bytes per leaf — negligible vs any workload worth
+    timing). Returns ``tree`` unchanged so it can wrap a call inline.
+    """
+    import jax
+
+    leaves = [l for l in jax.tree_util.tree_leaves(tree) if hasattr(l, "dtype")]
+    jax.block_until_ready(leaves)
+    for leaf in leaves:
+        if leaf.size:
+            jax.device_get(leaf.ravel()[:1])
+    return tree
+
+
 def device_memory_stats() -> List[Optional[Dict[str, int]]]:
     """Per-device live HBM stats (bytes_in_use / peak / limit) where the
     backend exposes them; None entries otherwise."""
@@ -128,6 +151,7 @@ __all__ = [
     "StepTimer",
     "annotate",
     "device_memory_stats",
+    "sync",
     "trace",
 ]
 

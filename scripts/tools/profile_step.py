@@ -242,15 +242,16 @@ def main():
 
     dtype = jnp.dtype(args.dtype)
     fn, fargs = WORKLOADS[args.workload](args.batch, args.res, dtype)
+    from gmdx.utils import sync
+
     jfn = jax.jit(fn)
-    out = jfn(*fargs)
-    jax.block_until_ready(out)  # compile outside the trace
+    sync(jfn(*fargs))  # compile outside the trace; true barrier (axon tunnel)
 
     trace_dir = args.out or tempfile.mkdtemp(prefix="gmdx_trace_")
     with jax.profiler.trace(trace_dir):
         for _ in range(args.iters):
             out = jfn(*fargs)
-        jax.block_until_ready(out)
+        sync(out)
 
     xplanes = glob.glob(
         os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True

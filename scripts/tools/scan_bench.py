@@ -34,12 +34,13 @@ def time_scan(body, carry, iters: int, repeats: int = 3) -> float:
         out, _ = jax.lax.scan(step, c, None, length=iters)
         return out
 
-    out = run(carry)
-    jax.block_until_ready(out)  # compile + warm
+    from gmdx.utils import sync
+
+    sync(run(carry))  # compile + warm; scalar-readback barrier (axon tunnel)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(carry))
+        sync(run(carry))
         best = min(best, time.perf_counter() - t0)
     return best / iters
 
