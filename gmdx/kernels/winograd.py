@@ -1,12 +1,15 @@
-"""Winograd F(2x2, 3x3) convolution as a Pallas TPU kernel.
+"""Winograd F(2x2, 3x3) and F(4x4, 3x3) convolution as Pallas TPU kernels.
 
 The SD-1.5 UNet's 3x3 stride-1 resnet convolutions are ~48% of the dual
 denoise step (BENCHNOTES.md round 2 trace), running at 73-97% MXU on XLA's
 direct lowering — further direct-conv tuning is capped. Winograd changes
 the arithmetic itself: with 2x2 output tiles, each tile costs 16 transform-
-domain multiplies instead of 36 direct MACs (2.25x fewer), and the
-transform-domain contraction is over the FULL channel depth (C = 320-1280)
-instead of 9-tap patches, which is exactly the MXU's preferred shape.
+domain multiplies instead of 36 direct MACs (2.25x fewer; 4x with the 4x4
+tiles of F(4x4, 3x3) — implemented and opt-in via GMDX_WINOGRAD_M=4, but
+measured transform-bound and net-slower on TPU, see ``_select_tiling``),
+and the transform-domain contraction is over the FULL channel depth
+(C = 320-1280) instead of 9-tap patches, which is exactly the MXU's
+preferred shape.
 
 Math (Lavin & Gray, arXiv:1509.09308):
     Y = A^T [ (G g G^T) .* (B^T d B) ] A        per 4x4 input tile d,
@@ -72,6 +75,49 @@ _G = np.array(
     [[1, 0, 0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0, 0, 1]], np.float32
 )
 _AT = np.array([[1, 1, 1, 0], [0, 1, -1, -1]], np.float32)
+
+# B^T, G, A^T for F(4x4, 3x3): 36 transform-domain multiplies per 4x4
+# output tile — 2.25 MACs/output vs direct 9 (4x fewer) and 1.78x fewer
+# than F(2x2, 3x3). Built by Cook-Toom over interpolation points
+# {0, 1, -1, 2, -1/2} (+inf) instead of Lavin & Gray's classic
+# {0, ±1, ±2}: the asymmetric set spreads the Vandermonde magnitudes, and
+# the bf16 transform-domain error (input cast + V cast + output-transform
+# cancellation, simulated end to end) drops 3x — mean max-rel-err 0.0144
+# vs 0.0436 classic, against 0.0054 inherent to a direct bf16 conv (the
+# same reason Barabasz & Gregg, arXiv:1803.10986, move off symmetric
+# points for fp16). Verified exact (<1e-9) against the direct conv in
+# fp64 at generation time.
+_BT4 = np.array(
+    [
+        [1, 1.5, -2, -1.5, 1, 0],
+        [0, -1, -2.5, -0.5, 1, 0],
+        [0, 1, 0.5, -2.5, 1, 0],
+        [0, -0.5, -1, 0.5, 1, 0],
+        [0, 2, -1, -2, 1, 0],
+        [0, 1, 1.5, -2, -1.5, 1],
+    ],
+    np.float32,
+)
+_G4 = np.array(
+    [
+        [1, 0, 0],
+        [-1 / 3, -1 / 3, -1 / 3],
+        [1 / 3, -1 / 3, 1 / 3],
+        [1 / 15, 2 / 15, 4 / 15],
+        [-16 / 15, 8 / 15, -4 / 15],
+        [0, 0, 1],
+    ],
+    np.float32,
+)
+_AT4 = np.array(
+    [
+        [1, 1, 1, 1, 1, 0],
+        [0, 1, -1, 2, -0.5, 0],
+        [0, 1, 1, 4, 0.25, 0],
+        [0, 1, -1, 8, -0.125, 1],
+    ],
+    np.float32,
+)
 
 # Fudged working-set budget (bytes): the pallas_call's vmem_limit_bytes is
 # 110 MB; keep the estimate x fudge under 100 for headroom.
@@ -285,6 +331,278 @@ def _wino_kernel(
                 )
 
 
+def _vmem_estimate4(
+    h: int, w: int, c: int, o: int, itemsize: int, split: int,
+    g_itemsize: int = 4,
+) -> int:
+    """F(4x4,3x3) working-set estimate, same calibration approach as
+    :func:`_vmem_estimate`. Tiles are 4x fewer than F(2x2) but each carries
+    36 planes; the input transform is streamed per-xi (6 fp32 row-transform
+    planes live at a time) and the output transform accumulates into 24
+    z-planes instead of materializing all 36 matmul outputs."""
+    t = (h // 4) * (w // 4) // split
+    trs = h // 4 // split
+    hp = h + 4
+    x_blk = hp * hp * c * itemsize  # whole padded image stays resident
+    slab = 5 * (trs + 1) * hp * c * itemsize  # slab rows + 4 phase copies
+    d_planes = 36 * t * c * itemsize
+    rowt_f32 = 8 * t * c * 4  # 6 streamed row-transform planes + transients
+    z_acc = 24 * t * o * 4  # fp32 output-transform accumulators
+    m_tmp = 2 * t * o * 4
+    u_scr = 36 * c * o * itemsize
+    g_in = 9 * c * o * g_itemsize
+    out_blk = 16 * t * o * itemsize
+    return (
+        x_blk + slab + d_planes + rowt_f32 + z_acc + m_tmp + u_scr + g_in
+        + out_blk
+    )
+
+
+def _pick_tiling4(
+    h: int, w: int, c: int, o: int, itemsize: int, g_itemsize: int
+) -> tuple[int, int]:
+    """F(4x4) analog of :func:`_pick_tiling`: (tile-row split, o-chunks)
+    or (0, 0) for fallback. The transformed weights are 36*C*Ochunk — 2.25x
+    the F(2x2) fixed cost — so chunking kicks in earlier."""
+    t_rows = h // 4
+    for ochunks in (1, 2, 4, 5, 8, 10):
+        if o % ochunks:
+            continue
+        if ochunks > 1 and (o // ochunks) % 128:
+            continue
+        for split in (1, 2, 4, 8):
+            if t_rows % split:
+                continue
+            if t_rows // split < 4:
+                break
+            est = _vmem_estimate4(
+                h, w, c, o // ochunks, itemsize, split, g_itemsize
+            )
+            if est * _MOSAIC_FUDGE <= _VMEM_CAP:
+                return split, ochunks
+    return 0, 0
+
+
+def _wino4_kernel(
+    x_ref,  # VMEM (1, TpR, 4, TpC, 4C) padded image, parity-in-lanes
+    g_ref,  # VMEM (9*C, Oc) conv kernel chunk, (k*3+l) tap-major rows
+    b_ref,  # VMEM (1, Oc) bias chunk
+    o_ref,  # parity_out: VMEM (1, Trs, 4, Tc, 4*O);
+    #          else (1, 4, 4, Trs, Tc, Oc) phase-major slab/chunk
+    u_scr,  # VMEM (36*C, Oc) transformed weight chunk, input dtype
+    *,
+    trs: int,  # tile rows per grid step
+    tc: int,  # tile columns
+    c: int,
+    o_ch: int,  # output-channel chunk width
+    parity_out: bool,
+):
+    """F(4x4, 3x3): same design as :func:`_wino_kernel` with three
+    m=4-specific choices (all VMEM/VPU driven):
+      * the input transform is FACTORED (rows then columns) — B^T has ~4
+        nonzeros per row, so the unfactored double sum would be ~14 VPU
+        terms per transform point vs ~8 factored;
+      * only one xi's 6 row-transform planes are live at a time;
+      * the output transform accumulates M into 24 z[p][nu] planes as each
+        matmul completes, then reduces over nu — never 36 M planes live.
+    """
+    b_idx = pl.program_id(1)
+    s_idx = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(b_idx == 0, s_idx == 0))
+    def _transform_weights():
+        # U[xi,nu] = sum_kl G4[xi,k] G4[nu,l] g[k,l] — fp32 sums (per-term
+        # upcast, cf. _wino_kernel), stored in the matmul dtype.
+        for xi in range(6):
+            for nu in range(6):
+                acc = None
+                for k in range(3):
+                    gk = _G4[xi, k]
+                    if gk == 0.0:
+                        continue
+                    for l in range(3):
+                        coef = gk * _G4[nu, l]
+                        if coef == 0.0:
+                            continue
+                        plane = g_ref[
+                            (k * 3 + l) * c : (k * 3 + l + 1) * c, :
+                        ]
+                        term = plane.astype(jnp.float32) * coef
+                        acc = term if acc is None else acc + term
+                p = xi * 6 + nu
+                u_scr[p * c : (p + 1) * c, :] = acc.astype(u_scr.dtype)
+
+    dtype = o_ref.dtype
+
+    # Shifted planes d_ij[ty,tx] = xpad[4ty+i, 4tx+j]: xpad[4a+p, 4b+q, ch]
+    # lives at x_ref[0, a, p, b, q*C+ch] — untiled index (p) + lane slice
+    # (q*C) + static unit-stride slices, exactly the F(2x2) layout with
+    # parity mod 4.
+    row0 = s_idx * trs
+    slabs = [
+        x_ref[0, pl.ds(row0, trs + 1), p_row]  # (trs+1, TpC, 4C)
+        for p_row in range(4)
+    ]
+    phases = [
+        [
+            jax.lax.slice_in_dim(slabs[p_row], q * c, (q + 1) * c, axis=2)
+            for q in range(4)
+        ]
+        for p_row in range(4)
+    ]
+    d = [
+        [
+            jax.lax.slice(
+                phases[i % 4][j % 4],
+                (i // 4, j // 4, 0),
+                (i // 4 + trs, j // 4 + tc, c),
+            )
+            for j in range(6)
+        ]
+        for i in range(6)
+    ]
+
+    bias = b_ref[...].astype(jnp.float32)  # (1, O)
+
+    # Factored input transform + on-the-fly output accumulation:
+    #   rowt[xi][j] = sum_i BT4[xi,i] d[i][j]        (per xi, streamed)
+    #   V[xi,nu]    = sum_j BT4[nu,j] rowt[xi][j]
+    #   M           = V @ U[xi,nu]
+    #   z[p][nu]   += AT4[p,xi] M                     (24 accumulators)
+    #   y[p][q]     = sum_nu AT4[q,nu] z[p][nu]
+    z = [[None] * 6 for _ in range(4)]
+    for xi in range(6):
+        rowt = []
+        for j in range(6):
+            acc = None
+            for i in range(6):
+                bi = _BT4[xi, i]
+                if bi == 0.0:
+                    continue
+                term = d[i][j].astype(jnp.float32) * bi
+                acc = term if acc is None else acc + term
+            rowt.append(acc)
+        for nu in range(6):
+            acc = None
+            for j in range(6):
+                bj = _BT4[nu, j]
+                if bj == 0.0:
+                    continue
+                term = rowt[j] * bj
+                acc = term if acc is None else acc + term
+            v = acc.astype(dtype).reshape(trs * tc, c)
+            p_idx = xi * 6 + nu
+            m = jax.lax.dot_general(
+                v,
+                u_scr[p_idx * c : (p_idx + 1) * c, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (t, Oc) fp32
+            for p in range(4):
+                ap = _AT4[p, xi]
+                if ap == 0.0:
+                    continue
+                term = m * ap
+                z[p][nu] = term if z[p][nu] is None else z[p][nu] + term
+
+    for p in range(4):
+        for q in range(4):
+            acc = None
+            for nu in range(6):
+                aq = _AT4[q, nu]
+                if aq == 0.0:
+                    continue
+                term = z[p][nu] * aq
+                acc = term if acc is None else acc + term
+            y_pq = (acc + bias).astype(o_ref.dtype).reshape(trs, tc, o_ch)
+            if parity_out:
+                o_ref[0, :, p, :, q * o_ch : (q + 1) * o_ch] = y_pq
+            else:
+                o_ref[0, p, q] = y_pq
+
+
+def _wino4_forward(x, kernel, bias, split, ochunks, pre_padded, interpret):
+    """F(4x4) twin of :func:`_wino_forward`. ``pre_padded`` here means the
+    1-px border (the GN handoff layout); m=4 needs (1 top, 3 bottom) so the
+    bottom/right get 2 more zero columns — tiles never read them as data
+    (max input row = H+1) but the mod-4 parity reshape needs Hp % 4 == 0."""
+    if pre_padded:
+        xp = jnp.pad(x, ((0, 0), (0, 2), (0, 2), (0, 0)))
+        b, hp, wp, c = xp.shape
+        h, w = hp - 4, wp - 4
+    else:
+        b, h, w, c = x.shape
+        xp = jnp.pad(x, ((0, 0), (1, 3), (1, 3), (0, 0)))
+    o_ch = kernel.shape[-1]
+    t_rows = h // 4
+    tc = w // 4
+    trs = t_rows // split
+    oc_w = o_ch // ochunks
+
+    tp = (h + 4) // 4
+    xl = xp.reshape(b, tp, 4, tp, 4 * c)  # FREE, row-major compatible
+    g2 = kernel.reshape(9 * c, o_ch)
+    b2 = bias.reshape(1, o_ch)
+
+    parity_out = ochunks == 1
+    if parity_out:
+        out_spec = pl.BlockSpec(
+            (1, trs, 4, tc, 4 * o_ch),
+            lambda oc, i, s: (i, s, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (b, t_rows, 4, tc, 4 * o_ch), x.dtype
+        )
+    else:
+        out_spec = pl.BlockSpec(
+            (1, 4, 4, trs, tc, oc_w),
+            lambda oc, i, s: (i, 0, 0, s, 0, oc),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (b, 4, 4, t_rows, tc, o_ch), x.dtype
+        )
+
+    (out,) = pl.pallas_call(
+        functools.partial(
+            _wino4_kernel, trs=trs, tc=tc, c=c, o_ch=oc_w,
+            parity_out=parity_out,
+        ),
+        grid=(ochunks, b, split),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tp, 4, tp, 4 * c), lambda oc, i, s: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((9 * c, oc_w), lambda oc, i, s: (0, oc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, oc_w), lambda oc, i, s: (0, oc),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec],
+        out_shape=[out_shape],
+        scratch_shapes=[pltpu.VMEM((36 * c, oc_w), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * 36 * t_rows * tc * c * o_ch,
+            bytes_accessed=(b * ochunks * (h + 4) * (w + 4) * c
+                            + 9 * c * o_ch
+                            + b * h * w * o_ch) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xl, g2, b2)
+    if parity_out:
+        # (B, T, 4, Tc, 4*O) -> (B, H, W, O): FREE, row-major compatible.
+        return out.reshape(b, h, w, o_ch)
+    # Phase-major (B, 4, 4, T, Tc, O) -> (B, H, W, O).
+    return out.transpose(0, 3, 1, 4, 2, 5).reshape(b, h, w, o_ch)
+
+
 def _conv3x3_reference(x: Array, kernel: Array, bias: Array) -> Array:
     out = jax.lax.conv_general_dilated(
         x,
@@ -392,15 +710,14 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret):
     return out.transpose(0, 3, 1, 4, 2, 5).reshape(b, h, w, o_ch)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _wino_conv(x, kernel, bias, split, ochunks=1, pre_padded=False,
-               interpret=False):
-    return _wino_forward(
-        x, kernel, bias, split, ochunks, pre_padded, interpret
-    )
+               interpret=False, m=2):
+    fwd = _wino_forward if m == 2 else _wino4_forward
+    return fwd(x, kernel, bias, split, ochunks, pre_padded, interpret)
 
 
-def _wino_fwd(x, kernel, bias, split, ochunks, pre_padded, interpret):
+def _wino_fwd(x, kernel, bias, split, ochunks, pre_padded, interpret, m):
     # Under differentiation (training), the primal defaults to the DIRECT
     # XLA conv, not the Pallas kernel: custom-call boundaries pin every
     # conv input as an opaque residual and block XLA's pad-fusion/remat
@@ -412,7 +729,7 @@ def _wino_fwd(x, kernel, bias, split, ochunks, pre_padded, interpret):
     # always use the kernel.
     if os.environ.get("GMDX_WINOGRAD_TRAIN", "0") == "1":
         out = _wino_conv(
-            x, kernel, bias, split, ochunks, pre_padded, interpret
+            x, kernel, bias, split, ochunks, pre_padded, interpret, m
         )
     else:
         ref = _conv3x3_valid if pre_padded else _conv3x3_reference
@@ -420,7 +737,7 @@ def _wino_fwd(x, kernel, bias, split, ochunks, pre_padded, interpret):
     return out, (x, kernel, bias)
 
 
-def _wino_bwd(split, ochunks, pre_padded, interpret, res, g):
+def _wino_bwd(split, ochunks, pre_padded, interpret, m, res, g):
     x, kernel, bias = res
     ref = _conv3x3_valid if pre_padded else _conv3x3_reference
     _, vjp = jax.vjp(ref, x, kernel, bias)
@@ -430,12 +747,40 @@ def _wino_bwd(split, ochunks, pre_padded, interpret, res, g):
 _wino_conv.defvjp(_wino_fwd, _wino_bwd)
 
 
+def _select_tiling(
+    h: int, w: int, c: int, o_ch: int, itemsize: int, g_itemsize: int
+) -> tuple[int, int, int]:
+    """(m, split, ochunks) for the best eligible Winograd variant, or
+    (0, 0, 0) for direct-conv fallback.
+
+    ``GMDX_WINOGRAD_M``: "4" forces F(4x4) wherever it tiles (falling back
+    to F(2x2) where it cannot); default is F(2x2) everywhere — the per-shape
+    TPU A/B (BENCHNOTES.md round 2) measured F(4x4) SLOWER than F(2x2) on
+    10 of 12 covered UNet conv shapes and the end-to-end dual bench
+    regressed 7.3% under auto-m=4 dispatch: the 36-point factored input
+    transform is ~3x the VPU work of F(2x2)'s 16 fused 4-term sums, and the
+    kernel is transform-bound, not matmul-bound, at these channel depths.
+    """
+    mode = os.environ.get("GMDX_WINOGRAD_M", "2")
+    if mode == "4" and h % 4 == 0 and h >= 16:
+        split, ochunks = _pick_tiling4(h, w, c, o_ch, itemsize, g_itemsize)
+        if split:
+            return 4, split, ochunks
+    split, ochunks = _pick_tiling(h, w, c, o_ch, itemsize, g_itemsize)
+    if split:
+        return 2, split, ochunks
+    return 0, 0, 0
+
+
 def winograd_eligible(
     shape, out_ch: int, itemsize: int, interpret: bool = False
 ) -> bool:
-    """Whether :func:`winograd_conv3x3` would dispatch for an UNPADDED
-    NHWC input shape (trace-time; lets producers pre-arrange the padded
-    layout the kernel consumes)."""
+    """Whether :func:`winograd_conv3x3` would dispatch the F(2x2) kernel
+    for an UNPADDED NHWC input shape (trace-time; lets producers
+    pre-arrange the 1-px zero-bordered layout that kernel consumes).
+    F(4x4) dispatches need a (1, 3) border — a pre-arranged 1-px pad would
+    cost an extra XLA pad copy, so they report False here and the kernel
+    pads internally from the raw image instead."""
     if os.environ.get("GMDX_WINOGRAD", "1") != "1":
         return False
     if len(shape) != 4:
@@ -445,7 +790,7 @@ def winograd_eligible(
         return False
     if c % 8 or out_ch % 8:
         return False
-    if _pick_tiling(h, w, c, out_ch, itemsize, itemsize) == (0, 0):
+    if _select_tiling(h, w, c, out_ch, itemsize, itemsize)[0] != 2:
         return False
     return interpret or jax.default_backend() == "tpu"
 
@@ -458,16 +803,20 @@ def winograd_conv3x3(
     pre_padded: bool = False,
     interpret: bool = False,
 ) -> Array | None:
-    """3x3 stride-1 SAME conv over NHWC via Winograd F(2x2, 3x3).
+    """3x3 stride-1 SAME conv over NHWC via Winograd — F(4x4, 3x3) where it
+    tiles (2.25 transform-domain MACs per output vs direct 9), F(2x2, 3x3)
+    otherwise (4 vs 9).
 
     ``pre_padded=True`` takes the 1-px zero-bordered image (B, H+2, W+2, C)
     — e.g. straight from the pad-emitting GroupNorm kernel — and skips the
-    XLA pad pass.
+    XLA pad pass (the F(4x4) path needs a (1, 3) border and re-pads, so
+    producers should consult :func:`winograd_eligible` first).
 
     Returns None when the shape is unsupported (odd/non-square spatial,
     tiny grids where the matmuls cannot fill the MXU, or a working set past
     the VMEM budget) — callers fall back to the direct XLA conv.
-    ``GMDX_WINOGRAD=0`` disables globally.
+    ``GMDX_WINOGRAD=0`` disables globally; ``GMDX_WINOGRAD_M`` forces a
+    tile size (see :func:`_select_tiling`).
     """
     if os.environ.get("GMDX_WINOGRAD", "1") != "1":
         return None
@@ -488,20 +837,24 @@ def winograd_conv3x3(
     # tiling or a fallback — measured net -0.4% on the dual bench. So:
     # keep the param dtype only when the tiling decision is unchanged;
     # otherwise cast and accept the (smaller) convert cost.
-    tiling_x = _pick_tiling(h, w, c, o_ch, x.dtype.itemsize, x.dtype.itemsize)
+    tiling_x = _select_tiling(
+        h, w, c, o_ch, x.dtype.itemsize, x.dtype.itemsize
+    )
     if kernel.dtype != x.dtype:
-        tiling_g = _pick_tiling(
+        tiling_g = _select_tiling(
             h, w, c, o_ch, x.dtype.itemsize, kernel.dtype.itemsize
         )
         if tiling_g != tiling_x:
             kernel = kernel.astype(x.dtype)
             bias = bias.astype(x.dtype)
-    split, ochunks = tiling_x
-    if split == 0:
+    m, split, ochunks = tiling_x
+    if m == 0:
         return None
     if jax.default_backend() != "tpu" and not interpret:
         return None
-    return _wino_conv(x, kernel, bias, split, ochunks, pre_padded, interpret)
+    return _wino_conv(
+        x, kernel, bias, split, ochunks, pre_padded, interpret, m
+    )
 
 
 __all__ = ["winograd_conv3x3", "winograd_eligible"]

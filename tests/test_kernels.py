@@ -520,12 +520,13 @@ class TestWinogradConv3x3:
         "b,hw,c,o",
         [(2, 16, 32, 16), (1, 32, 64, 32), (2, 16, 40, 24)],
     )
-    def test_matches_direct_conv(self, b, hw, c, o):
+    def test_matches_direct_conv(self, b, hw, c, o, monkeypatch):
         from gmdx.kernels.winograd import (
             _conv3x3_reference,
             winograd_conv3x3,
         )
 
+        monkeypatch.setenv("GMDX_WINOGRAD_M", "2")  # the F(2x2) path
         ks = jax.random.split(jax.random.key(0), 3)
         x = jax.random.normal(ks[0], (b, hw, hw, c), jnp.float32)
         k = jax.random.normal(ks[1], (3, 3, c, o)) * 0.1
@@ -591,7 +592,7 @@ class TestWinogradConv3x3:
             np.asarray(one), np.asarray(four), rtol=2e-5, atol=2e-5
         )
 
-    def test_pre_padded_matches_same_conv(self):
+    def test_pre_padded_matches_same_conv(self, monkeypatch):
         """pre_padded=True over a zero-bordered input == SAME conv over
         the raw input (the pad-emitting GroupNorm handoff)."""
         from gmdx.kernels.winograd import (
@@ -599,6 +600,7 @@ class TestWinogradConv3x3:
             winograd_conv3x3,
         )
 
+        monkeypatch.setenv("GMDX_WINOGRAD_M", "2")  # the F(2x2) path
         ks = jax.random.split(jax.random.key(4), 3)
         x = jax.random.normal(ks[0], (2, 16, 16, 32), jnp.float32)
         k = jax.random.normal(ks[1], (3, 3, 32, 16)) * 0.1
@@ -656,6 +658,124 @@ class TestWinogradConv3x3:
             )
         assert direct.shape == x.shape
         assert wino.shape == (1, 16, 16, 32)
+
+
+class TestWinograd4Conv3x3:
+    """Winograd F(4x4,3x3) kernel (gmdx/kernels/winograd.py) vs
+    lax.conv_general_dilated, same pinned-precision discipline as the
+    F(2x2) tests above."""
+
+    @pytest.mark.parametrize(
+        "b,hw,c,o",
+        [(2, 16, 32, 16), (1, 32, 64, 32), (2, 16, 40, 24)],
+    )
+    def test_matches_direct_conv(self, b, hw, c, o, monkeypatch):
+        from gmdx.kernels.winograd import (
+            _conv3x3_reference,
+            winograd_conv3x3,
+        )
+
+        monkeypatch.setenv("GMDX_WINOGRAD_M", "4")
+        ks = jax.random.split(jax.random.key(0), 3)
+        x = jax.random.normal(ks[0], (b, hw, hw, c), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 3, c, o)) * 0.1
+        bias = jax.random.normal(ks[2], (o,)) * 0.1
+        with jax.default_matmul_precision("highest"):
+            out = winograd_conv3x3(x, k, bias, interpret=True)
+            ref = _conv3x3_reference(x, k, bias)
+        # F(4x4) transform coefficients (1/6, 1/24, ±8) amplify fp32
+        # rounding more than F(2x2)'s exact halves.
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_tile_row_split_matches(self):
+        from gmdx.kernels.winograd import _wino_conv
+
+        ks = jax.random.split(jax.random.key(2), 3)
+        x = jax.random.normal(ks[0], (2, 32, 32, 16), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 3, 16, 16)) * 0.1
+        bias = jax.random.normal(ks[2], (16,)) * 0.1
+        with jax.default_matmul_precision("highest"):
+            one = _wino_conv(x, k, bias, 1, 1, False, True, 4)
+            two = _wino_conv(x, k, bias, 2, 1, False, True, 4)
+        np.testing.assert_allclose(
+            np.asarray(one), np.asarray(two), rtol=1e-5, atol=1e-5
+        )
+
+    def test_output_chunking_matches(self):
+        from gmdx.kernels.winograd import _wino_conv
+
+        ks = jax.random.split(jax.random.key(3), 3)
+        x = jax.random.normal(ks[0], (2, 16, 16, 32), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 3, 32, 32)) * 0.1
+        bias = jax.random.normal(ks[2], (32,)) * 0.1
+        with jax.default_matmul_precision("highest"):
+            one = _wino_conv(x, k, bias, 1, 1, False, True, 4)
+            four = _wino_conv(x, k, bias, 1, 4, False, True, 4)
+        np.testing.assert_allclose(
+            np.asarray(one), np.asarray(four), rtol=2e-4, atol=2e-4
+        )
+
+    def test_pre_padded_matches_same_conv(self):
+        """pre_padded carries the F(2x2) 1-px border contract; the m=4
+        path re-pads to (1, 3) internally."""
+        from gmdx.kernels.winograd import _conv3x3_reference, _wino_conv
+
+        ks = jax.random.split(jax.random.key(4), 3)
+        x = jax.random.normal(ks[0], (2, 16, 16, 32), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 3, 32, 16)) * 0.1
+        bias = jax.random.normal(ks[2], (16,)) * 0.1
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        with jax.default_matmul_precision("highest"):
+            out = _wino_conv(xp, k, bias, 1, 1, True, True, 4)
+            ref = _conv3x3_reference(x, k, bias)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_bf16_error_bounded(self):
+        """bf16 transform-domain matmuls: the F(4x4) error must stay at
+        the same order as the direct bf16 conv's own noise (both vs the
+        fp32 direct conv)."""
+        from gmdx.kernels.winograd import _conv3x3_reference, _wino_conv
+
+        ks = jax.random.split(jax.random.key(5), 3)
+        x32 = jax.random.normal(ks[0], (1, 32, 32, 64), jnp.float32)
+        k32 = jax.random.normal(ks[1], (3, 3, 64, 32)) * 0.1
+        b32 = jax.random.normal(ks[2], (32,)) * 0.1
+        with jax.default_matmul_precision("highest"):
+            ref = np.asarray(_conv3x3_reference(x32, k32, b32))
+            direct_bf16 = np.asarray(
+                _conv3x3_reference(
+                    x32.astype(jnp.bfloat16), k32, b32
+                ).astype(jnp.float32)
+            )
+            wino_bf16 = np.asarray(
+                _wino_conv(
+                    x32.astype(jnp.bfloat16), k32, b32, 1, 1, False, True, 4
+                ).astype(jnp.float32)
+            )
+        scale = np.abs(ref).max()
+        direct_err = np.abs(direct_bf16 - ref).max() / scale
+        wino_err = np.abs(wino_bf16 - ref).max() / scale
+        # Amplified by the larger transform coefficients, but must stay
+        # within an order of magnitude of plain bf16 conv noise.
+        assert wino_err < max(10 * direct_err, 5e-2), (wino_err, direct_err)
+
+    def test_selection(self, monkeypatch):
+        from gmdx.kernels.winograd import _select_tiling
+
+        # default is F(2x2) — F(4x4) measured net-slower (BENCHNOTES.md)
+        assert _select_tiling(64, 64, 320, 320, 2, 2)[0] == 2
+        # opt-in m=4 where it tiles
+        monkeypatch.setenv("GMDX_WINOGRAD_M", "4")
+        assert _select_tiling(64, 64, 320, 320, 2, 2)[0] == 4
+        # forced m=4 falls back to 2 when it cannot tile (h % 4 != 0)
+        assert _select_tiling(18, 18, 32, 32, 4, 4)[0] == 2
+        # explicit m=2
+        monkeypatch.setenv("GMDX_WINOGRAD_M", "2")
+        assert _select_tiling(64, 64, 320, 320, 2, 2)[0] == 2
 
 
 def _gn_ref32(x, norm_params, groups=32, eps=1e-5):
