@@ -207,17 +207,23 @@ def _wino_kernel(
 
     @pl.when(jnp.logical_and(b_idx == 0, s_idx == 0))
     def _transform_weights():
-        # U[xi,nu] = sum_kl G[xi,k] G[nu,l] g[k,l]  — fp32 sums, stored in
-        # the matmul dtype. ~60 flops per (c,o) element, once per call.
+        # U'[xi,nu] = s_xi s_nu sum_kl G[xi,k] G[nu,l] g[k,l] — fp32 sums,
+        # stored in the matmul dtype. ~60 flops per (c,o) element, once per
+        # call. s_2 = -1 (else +1) pre-applies the sign the factored input
+        # transform drops by computing its xi==2/nu==2 row as d1-d2 instead
+        # of -d1+d2 (see the apply loop below).
         # The upcast happens fused with each coef multiply: pre-upcasting
         # all 9 (C, O) planes kept ~30 MB of fp32 live in this branch at
         # the 1280->640 level and dominated the kernel's scoped-VMEM stack
         # (the apply path's slabs are split, this branch isn't).
         for xi in range(4):
             for nu in range(4):
+                sign = (-1.0 if xi == 2 else 1.0) * (
+                    -1.0 if nu == 2 else 1.0
+                )
                 acc = None
                 for k in range(3):
-                    gk = _G[xi, k]
+                    gk = sign * _G[xi, k]
                     if gk == 0.0:
                         continue
                     for l in range(3):
@@ -270,22 +276,37 @@ def _wino_kernel(
 
     bias = b_ref[...].astype(jnp.float32)  # (1, O)
 
-    # V[xi,nu] = sum_ij BT[xi,i] BT[nu,j] d_ij ; M = V @ U ; accumulate the
-    # output transform on the fly: Y[p,q] += AT[p,xi] AT[nu->q] M[xi,nu].
+    # V = B^T d B, FACTORED (rows then columns): every B^T row has exactly
+    # two ±1 entries, so the factored form costs 16 row ops + 16 column
+    # ops = 32 fp32 add/subs vs 48 for the unfactored double sum (4 terms
+    # per point) — still exact (entries ±1). Rows stream per-xi (only the
+    # 4 r-planes of one xi live at a time), keeping the unfactored form's
+    # slab VMEM budget. The xi==2 / nu==2 row is the NEGATION of the
+    # xi==1 / nu==1 index pair ((-d1+d2) vs (d1+d2)); computing it as
+    # d1-d2 and folding the sign into the transformed weights (see
+    # ``_transform_weights``) removes every explicit negate — exactly one
+    # VPU add/sub per transform point. Then M = V @ U' and the output
+    # transform Y[p,q] += AT[p,xi] AT[q,nu] M[xi,nu] accumulates on the
+    # fly (already sign-corrected through U').
+    bt_pairs = ((0, 2, False), (1, 2, True), (1, 2, False), (1, 3, False))
+
+    def _combine(a, b, add):
+        return a + b if add else a - b
+
     y = [[None, None], [None, None]]
     for xi in range(4):
+        a_i, b_i, add_i = bt_pairs[xi]
+        r = [
+            _combine(
+                d[a_i][j].astype(jnp.float32),
+                d[b_i][j].astype(jnp.float32),
+                add_i,
+            )
+            for j in range(4)
+        ]
         for nu in range(4):
-            acc = None
-            for i in range(4):
-                bi = _BT[xi, i]
-                if bi == 0.0:
-                    continue
-                for j in range(4):
-                    coef = bi * _BT[nu, j]
-                    if coef == 0.0:
-                        continue
-                    term = d[i][j].astype(jnp.float32) * coef
-                    acc = term if acc is None else acc + term
+            a_j, b_j, add_j = bt_pairs[nu]
+            acc = _combine(r[a_j], r[b_j], add_j)
             v = acc.astype(dtype).reshape(trs * tc, c)
             p_idx = xi * 4 + nu
             m = jax.lax.dot_general(
