@@ -155,6 +155,65 @@ def _vmem_estimate(
 _MOSAIC_FUDGE = 1.7
 
 
+def _vmem_estimate_stream(
+    h: int, w: int, c: int, o: int, itemsize: int, trs: int,
+    g_itemsize: int = 4,
+) -> int:
+    """Working-set estimate for the STREAMING variant: the padded image
+    stays in HBM and each grid step DMAs only its (trs+1)-row slab into a
+    VMEM scratch — the x_blk term of :func:`_vmem_estimate` collapses from
+    whole-image to slab-sized, which is what lets 128x128+ images (VAE
+    decode, 1024^2 UNet levels) tile at all."""
+    tc = w // 2
+    t = trs * tc
+    slab_scr = (trs + 1) * (w + 2) * 2 * c * itemsize  # DMA'd parity slab
+    slab = 3 * (2 * trs + 2) * (w + 2) * c * itemsize  # phase copies
+    d_planes = 16 * t * c * itemsize
+    v_f32 = 5 * t * c * 4
+    y_acc = 4 * t * o * 4
+    m_tmp = 2 * t * o * 4
+    u_scr = 16 * c * o * itemsize
+    g_in = 9 * c * o * g_itemsize
+    out_blk = 4 * t * o * itemsize
+    return (
+        slab_scr + slab + d_planes + v_f32 + y_acc + m_tmp + u_scr + g_in
+        + out_blk
+    )
+
+
+def _pick_tiling_stream(
+    h: int, w: int, c: int, o: int, itemsize: int, g_itemsize: int
+) -> tuple[int, int, int]:
+    """(slab count, o-chunks, tile rows per slab) for the streaming
+    variant, or (0, 0, 0). Tried only after :func:`_pick_tiling` fails —
+    whole-image residency lets Mosaic double-buffer the image DMA across
+    batch steps, so it stays preferred where it fits. When trs does not
+    divide the tile rows the wrapper pads bottom rows (sliced off after);
+    candidate trs values keep that waste <= trs-1 rows."""
+    # The slab DMA slices the HBM-resident parity image along its tiled
+    # minor dims, so the LANE dim (2C) must be a 128 multiple — otherwise
+    # Mosaic's memref padding makes the full-width copy an unaligned slice.
+    # (The parity-column dim is padded to 8 by the wrapper.)
+    if (2 * c) % 128:
+        return 0, 0, 0
+    t_rows = h // 2
+    for ochunks in (1, 2, 4, 5, 8, 10):
+        if o % ochunks:
+            continue
+        if ochunks > 1 and (o // ochunks) % 128:
+            continue
+        for trs in (64, 32, 16, 8, 4):
+            if trs > t_rows:
+                continue
+            est = _vmem_estimate_stream(
+                h, w, c, o // ochunks, itemsize, trs, g_itemsize
+            )
+            if est * _MOSAIC_FUDGE <= _VMEM_CAP:
+                split = -(-t_rows // trs)
+                return split, ochunks, trs
+    return 0, 0, 0
+
+
 def _pick_tiling(
     h: int, w: int, c: int, o: int, itemsize: int, g_itemsize: int
 ) -> tuple[int, int]:
@@ -192,12 +251,13 @@ def _wino_kernel(
     o_ref,  # parity_out: VMEM (1, Trs, 2, Tc, 2*O) parity-in-lanes slab;
     #          else (1, 2, 2, Trs, Tc, Oc) phase-major slab/chunk
     u_scr,  # VMEM (16*C, Oc) transformed weight chunk, input dtype
-    *,
+    *stream_scr,  # streaming only: slab VMEM scratch + DMA semaphore
     trs: int,  # tile rows per grid step
     tc: int,  # tile columns
     c: int,
     o_ch: int,  # output-channel chunk width
     parity_out: bool,
+    stream: bool = False,  # x_ref is the FULL HBM array; DMA slabs in
 ):
     # Grid (ochunk, batch, row-slab), all sequential. The o-chunk axis is
     # OUTERMOST so the weight transform below runs once per chunk (the
@@ -251,10 +311,23 @@ def _wino_kernel(
     # unit-stride.
     tp = x_ref.shape[3]
     row0 = s_idx * trs
-    slabs = [
-        x_ref[0, pl.ds(row0, trs + 1), p_row]  # (trs+1, Tp, 2C)
-        for p_row in range(2)
-    ]
+    if stream:
+        # Large-image variant: the padded image lives in HBM (ANY space);
+        # DMA this step's (trs+1)-row slab into VMEM scratch. Synchronous
+        # copy — slab bytes are microseconds at HBM bandwidth vs the
+        # milliseconds of transform+matmul work per slab.
+        slab_scr, dma_sem = stream_scr
+        cp = pltpu.make_async_copy(
+            x_ref.at[b_idx, pl.ds(row0, trs + 1)], slab_scr, dma_sem
+        )
+        cp.start()
+        cp.wait()
+        slabs = [slab_scr[:, p_row] for p_row in range(2)]
+    else:
+        slabs = [
+            x_ref[0, pl.ds(row0, trs + 1), p_row]  # (trs+1, Tp, 2C)
+            for p_row in range(2)
+        ]
     phases = [
         [
             jax.lax.slice_in_dim(slabs[p_row], q * c, (q + 1) * c, axis=2)
@@ -648,7 +721,8 @@ def _conv3x3_valid(xp: Array, kernel: Array, bias: Array) -> Array:
     return out + bias.astype(out.dtype)
 
 
-def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret):
+def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret,
+                  stream=False, trs=0):
     if pre_padded:
         xp = x
         b, hp, wp, c = x.shape
@@ -659,13 +733,32 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret):
     o_ch = kernel.shape[-1]
     t_rows = h // 2
     tc = w // 2
-    trs = t_rows // split
+    if stream:
+        # trs is chosen by the picker; split * trs may overshoot t_rows —
+        # pad the bottom with zero rows and slice the surplus output rows
+        # off after (<= 2*(trs-1) wasted rows of compute).
+        t_rows_p = split * trs
+        extra = 2 * (t_rows_p - t_rows)
+        if extra:
+            xp = jnp.pad(xp, ((0, 0), (0, extra), (0, 0), (0, 0)))
+    else:
+        trs = t_rows // split
+        t_rows_p = t_rows
     oc_w = o_ch // ochunks  # chunk width
 
-    tp = (h + 2) // 2
+    tp_r = t_rows_p + 1  # parity row count of the (possibly row-padded) img
+    tp = (w + 2) // 2
     # FREE reshape (row-major compatible, no copy): row parity splits into
     # an untiled dim, column parity merges into the LANE dim.
-    xl = xp.reshape(b, tp, 2, tp, 2 * c)
+    xl = xp.reshape(b, tp_r, 2, tp, 2 * c)
+    if stream and tp % 8:
+        # The slab DMA slices the tiled HBM memref; its second-minor dim
+        # (parity columns) must be 8-aligned or Mosaic rejects the copy.
+        # Zero columns on the right are outside every d-plane slice
+        # (which stop at tc + 1 <= tp), so geometry is unchanged.
+        tp_pad = (tp + 7) // 8 * 8
+        xl = jnp.pad(xl, ((0, 0), (0, 0), (0, 0), (0, tp_pad - tp), (0, 0)))
+        tp = tp_pad
     g2 = kernel.reshape(9 * c, o_ch)
     b2 = bias.reshape(1, o_ch)
 
@@ -677,7 +770,7 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret):
             memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct(
-            (b, t_rows, 2, tc, 2 * o_ch), x.dtype
+            (b, t_rows_p, 2, tc, 2 * o_ch), x.dtype
         )
     else:
         out_spec = pl.BlockSpec(
@@ -686,20 +779,31 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret):
             memory_space=pltpu.VMEM,
         )
         out_shape = jax.ShapeDtypeStruct(
-            (b, 2, 2, t_rows, tc, o_ch), x.dtype
+            (b, 2, 2, t_rows_p, tc, o_ch), x.dtype
         )
+
+    if stream:
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [
+            pltpu.VMEM((16 * c, oc_w), x.dtype),
+            pltpu.VMEM((trs + 1, 2, tp, 2 * c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        x_spec = pl.BlockSpec(
+            (1, tp_r, 2, tp, 2 * c), lambda oc, i, s: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        scratch = [pltpu.VMEM((16 * c, oc_w), x.dtype)]
 
     (out,) = pl.pallas_call(
         functools.partial(
             _wino_kernel, trs=trs, tc=tc, c=c, o_ch=oc_w,
-            parity_out=parity_out,
+            parity_out=parity_out, stream=stream,
         ),
         grid=(ochunks, b, split),
         in_specs=[
-            pl.BlockSpec(
-                (1, tp, 2, tp, 2 * c), lambda oc, i, s: (i, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            x_spec,
             pl.BlockSpec((9 * c, oc_w), lambda oc, i, s: (0, oc),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, oc_w), lambda oc, i, s: (0, oc),
@@ -707,7 +811,7 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret):
         ],
         out_specs=[out_spec],
         out_shape=[out_shape],
-        scratch_shapes=[pltpu.VMEM((16 * c, oc_w), x.dtype)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             # Sequential axes: the weight transform at grid step (oc, 0, 0)
             # must complete before later steps reuse the scratch.
@@ -715,8 +819,9 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret):
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * 16 * t_rows * tc * c * o_ch,
-            bytes_accessed=(b * ochunks * (h + 2) * (w + 2) * c
+            flops=2 * b * 16 * t_rows_p * tc * c * o_ch,
+            bytes_accessed=(b * ochunks
+                            * (2 * t_rows_p + 2) * (w + 2) * c
                             + 9 * c * o_ch
                             + b * h * w * o_ch) * x.dtype.itemsize,
             transcendentals=0,
@@ -724,21 +829,31 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret):
         interpret=interpret,
     )(xl, g2, b2)
     if parity_out:
-        # (B, T, 2, Tc, 2*O) -> (B, H, W, O): FREE, row-major compatible.
-        return out.reshape(b, h, w, o_ch)
-    # Phase-major (B, 2, 2, T, T, O) -> (B, H, W, O): same depth-to-space
-    # pattern as the sub-pixel Upsample2D.
-    return out.transpose(0, 3, 1, 4, 2, 5).reshape(b, h, w, o_ch)
+        # (B, Tp, 2, Tc, 2*O) -> (B, Hp, W, O): FREE, row-major compatible.
+        out = out.reshape(b, 2 * t_rows_p, w, o_ch)
+    else:
+        # Phase-major (B, 2, 2, Tp, Tc, O) -> (B, Hp, W, O): same
+        # depth-to-space pattern as the sub-pixel Upsample2D.
+        out = out.transpose(0, 3, 1, 4, 2, 5).reshape(
+            b, 2 * t_rows_p, w, o_ch
+        )
+    return out[:, :h] if t_rows_p != t_rows else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _wino_conv(x, kernel, bias, split, ochunks=1, pre_padded=False,
-               interpret=False, m=2):
-    fwd = _wino_forward if m == 2 else _wino4_forward
-    return fwd(x, kernel, bias, split, ochunks, pre_padded, interpret)
+               interpret=False, m=2, stream=False, trs=0):
+    if m != 2:
+        return _wino4_forward(
+            x, kernel, bias, split, ochunks, pre_padded, interpret
+        )
+    return _wino_forward(
+        x, kernel, bias, split, ochunks, pre_padded, interpret, stream, trs
+    )
 
 
-def _wino_fwd(x, kernel, bias, split, ochunks, pre_padded, interpret, m):
+def _wino_fwd(x, kernel, bias, split, ochunks, pre_padded, interpret, m,
+              stream=False, trs=0):
     # Under differentiation (training), the primal defaults to the DIRECT
     # XLA conv, not the Pallas kernel: custom-call boundaries pin every
     # conv input as an opaque residual and block XLA's pad-fusion/remat
@@ -750,7 +865,8 @@ def _wino_fwd(x, kernel, bias, split, ochunks, pre_padded, interpret, m):
     # always use the kernel.
     if os.environ.get("GMDX_WINOGRAD_TRAIN", "0") == "1":
         out = _wino_conv(
-            x, kernel, bias, split, ochunks, pre_padded, interpret, m
+            x, kernel, bias, split, ochunks, pre_padded, interpret, m,
+            stream, trs,
         )
     else:
         ref = _conv3x3_valid if pre_padded else _conv3x3_reference
@@ -758,7 +874,7 @@ def _wino_fwd(x, kernel, bias, split, ochunks, pre_padded, interpret, m):
     return out, (x, kernel, bias)
 
 
-def _wino_bwd(split, ochunks, pre_padded, interpret, m, res, g):
+def _wino_bwd(split, ochunks, pre_padded, interpret, m, stream, trs, res, g):
     x, kernel, bias = res
     ref = _conv3x3_valid if pre_padded else _conv3x3_reference
     _, vjp = jax.vjp(ref, x, kernel, bias)
@@ -770,9 +886,11 @@ _wino_conv.defvjp(_wino_fwd, _wino_bwd)
 
 def _select_tiling(
     h: int, w: int, c: int, o_ch: int, itemsize: int, g_itemsize: int
-) -> tuple[int, int, int]:
-    """(m, split, ochunks) for the best eligible Winograd variant, or
-    (0, 0, 0) for direct-conv fallback.
+) -> tuple[int, int, int, bool, int]:
+    """(m, split, ochunks, stream, trs) for the best eligible Winograd
+    variant, or (0, 0, 0, False, 0) for direct-conv fallback. ``stream``
+    selects the HBM-resident-input variant (large images); ``trs`` is the
+    tile rows per grid step (split * trs >= h // 2, the excess padded).
 
     ``GMDX_WINOGRAD_M``: "4" forces F(4x4) wherever it tiles (falling back
     to F(2x2) where it cannot); default is F(2x2) everywhere — the per-shape
@@ -786,11 +904,22 @@ def _select_tiling(
     if mode == "4" and h % 4 == 0 and h >= 16:
         split, ochunks = _pick_tiling4(h, w, c, o_ch, itemsize, g_itemsize)
         if split:
-            return 4, split, ochunks
+            return 4, split, ochunks, False, 0
     split, ochunks = _pick_tiling(h, w, c, o_ch, itemsize, g_itemsize)
     if split:
-        return 2, split, ochunks
-    return 0, 0, 0
+        return 2, split, ochunks, False, h // 2 // split
+    # The streaming tier (HBM-resident input, per-slab DMA) is OPT-IN: it
+    # extends coverage to 256^2+ images (VAE decode tail, >=2048^2 UNets)
+    # but measured 2.1-2.4x SLOWER than the direct XLA conv there — the
+    # synchronous slab copy serializes every grid step and the transform
+    # is VPU-bound at those channel depths (BENCHNOTES.md round 2).
+    if os.environ.get("GMDX_WINOGRAD_STREAM", "0") == "1":
+        split, ochunks, trs = _pick_tiling_stream(
+            h, w, c, o_ch, itemsize, g_itemsize
+        )
+        if split:
+            return 2, split, ochunks, True, trs
+    return 0, 0, 0, False, 0
 
 
 def winograd_eligible(
@@ -868,13 +997,14 @@ def winograd_conv3x3(
         if tiling_g != tiling_x:
             kernel = kernel.astype(x.dtype)
             bias = bias.astype(x.dtype)
-    m, split, ochunks = tiling_x
+    m, split, ochunks, stream, trs = tiling_x
     if m == 0:
         return None
     if jax.default_backend() != "tpu" and not interpret:
         return None
     return _wino_conv(
-        x, kernel, bias, split, ochunks, pre_padded, interpret, m
+        x, kernel, bias, split, ochunks, pre_padded, interpret, m,
+        stream, trs,
     )
 
 

@@ -660,6 +660,91 @@ class TestWinogradConv3x3:
         assert wino.shape == (1, 16, 16, 32)
 
 
+class TestWinogradStreaming:
+    """The HBM-resident-input (streaming) F(2x2) variant: the padded image
+    stays in ANY space and each grid step DMAs a row slab into VMEM —
+    coverage for the shapes whose whole image cannot sit in VMEM (VAE
+    decode at 128^2+, 1024^2 UNet levels)."""
+
+    def test_stream_matches_direct(self):
+        """Forced streaming at a small shape == direct conv exactly."""
+        from gmdx.kernels.winograd import _conv3x3_reference, _wino_conv
+
+        ks = jax.random.split(jax.random.key(0), 3)
+        x = jax.random.normal(ks[0], (2, 32, 32, 16), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 3, 16, 16)) * 0.1
+        bias = jax.random.normal(ks[2], (16,)) * 0.1
+        with jax.default_matmul_precision("highest"):
+            ref = _conv3x3_reference(x, k, bias)
+            # t_rows = 16, trs = 4 divides exactly -> no row padding
+            out = _wino_conv(x, k, bias, 4, 1, False, True, 2, True, 4)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_stream_row_padding(self):
+        """trs that does NOT divide the tile rows: bottom rows are padded
+        and sliced off — output still matches the direct conv."""
+        from gmdx.kernels.winograd import _conv3x3_reference, _wino_conv
+
+        ks = jax.random.split(jax.random.key(1), 3)
+        x = jax.random.normal(ks[0], (1, 36, 36, 16), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 3, 16, 24)) * 0.1
+        bias = jax.random.normal(ks[2], (24,)) * 0.1
+        with jax.default_matmul_precision("highest"):
+            ref = _conv3x3_reference(x, k, bias)
+            # t_rows = 18, trs = 4 -> split = 5, 2 padded tile rows
+            out = _wino_conv(x, k, bias, 5, 1, False, True, 2, True, 4)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_stream_ochunked_pre_padded(self):
+        """Streaming + output chunking + the pre-padded handoff."""
+        from gmdx.kernels.winograd import _conv3x3_reference, _wino_conv
+
+        ks = jax.random.split(jax.random.key(2), 3)
+        x = jax.random.normal(ks[0], (1, 16, 16, 32), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 3, 32, 32)) * 0.1
+        bias = jax.random.normal(ks[2], (32,)) * 0.1
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        with jax.default_matmul_precision("highest"):
+            ref = _conv3x3_reference(x, k, bias)
+            out = _wino_conv(xp, k, bias, 2, 2, True, True, 2, True, 4)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_large_image_dispatches_streaming(self, monkeypatch):
+        """Shapes past the whole-image VMEM budget pick the streaming tier
+        (opt-in: measured slower than the direct conv at these shapes,
+        BENCHNOTES.md) instead of falling back to the direct conv."""
+        from gmdx.kernels.winograd import _select_tiling
+
+        monkeypatch.setenv("GMDX_WINOGRAD_STREAM", "1")
+        # 256x256 @ 256ch (VAE decode level): whole image > VMEM budget.
+        m, split, ochunks, stream, trs = _select_tiling(
+            256, 256, 256, 256, 2, 2
+        )
+        assert m == 2 and stream and split * trs >= 128
+        # 512x512 @ 128ch (VAE decode final level).
+        m, split, ochunks, stream, trs = _select_tiling(
+            512, 512, 128, 128, 2, 2
+        )
+        assert m == 2 and stream and split * trs >= 256
+        # 128x128 @ 512ch still fits whole-image residency (o-chunking).
+        m, split, ochunks, stream, trs = _select_tiling(
+            128, 128, 512, 512, 2, 2
+        )
+        assert m == 2 and not stream
+        # Small shapes keep the resident tier.
+        m, split, ochunks, stream, trs = _select_tiling(
+            64, 64, 320, 320, 2, 2
+        )
+        assert m == 2 and not stream
+
+
 class TestWinograd4Conv3x3:
     """Winograd F(4x4,3x3) kernel (gmdx/kernels/winograd.py) vs
     lax.conv_general_dilated, same pinned-precision discipline as the
