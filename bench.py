@@ -24,7 +24,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from gmdx.utils import enable_compilation_cache, sync
+from gmdx.utils import cached_export, enable_compilation_cache, sync
 
 enable_compilation_cache()  # default-on persistent cache; warm runs skip compile
 
@@ -58,17 +58,24 @@ def build():
     h = w = HEIGHT // 8
     rng = jax.random.key(0)
     print("initializing params...", flush=True)
+    # cached_export skips re-tracing on warm runs (serialized jax.export
+    # artifacts keyed on source + avals; gmdx/utils/export_cache.py) — paired
+    # with the XLA cache above, a warm bench goes straight to execution.
+    def run_cached(fn, *args, key):
+        return cached_export(fn, *args, key=key)(*args)
+
     params = {
-        "unet": jax.jit(sdr_unet.init)(
-            rng, jnp.zeros((1, 4, h, w)), jnp.array(1.0),
-            jnp.zeros((1, 77, 768)),
+        "unet": run_cached(
+            sdr_unet.init, rng, jnp.zeros((1, 4, h, w)), jnp.array(1.0),
+            jnp.zeros((1, 77, 768)), key="bench-init-unet",
         )["params"],
-        "gm_unet": jax.jit(gm_unet.init)(
-            rng, jnp.zeros((1, 8, h, w)), jnp.array(1.0),
-            jnp.zeros((1, 77, 768)),
+        "gm_unet": run_cached(
+            gm_unet.init, rng, jnp.zeros((1, 8, h, w)), jnp.array(1.0),
+            jnp.zeros((1, 77, 768)), key="bench-init-gm-unet",
         )["params"],
-        "vae": jax.jit(vae.init)(
-            rng, jnp.zeros((1, 3, 64, 64)), jax.random.key(1)
+        "vae": run_cached(
+            vae.init, rng, jnp.zeros((1, 3, 64, 64)), jax.random.key(1),
+            key="bench-init-vae",
         )["params"],
     }
 
@@ -87,7 +94,8 @@ def build():
     latents = jax.random.normal(jax.random.key(2), (BATCH, 4, h, w))
     cond = jax.random.normal(jax.random.key(3), (BATCH, 77, 768), DTYPE)
     uncond = jax.random.normal(jax.random.key(4), (BATCH, 77, 768), DTYPE)
-    return jax.jit(run), (params, latents, cond, uncond)
+    args = (params, latents, cond, uncond)
+    return cached_export(run, *args, key="bench-dual-run", verbose=True), args
 
 
 def main() -> None:

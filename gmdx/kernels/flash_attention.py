@@ -21,11 +21,16 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
     kernel) and dQ (q-major kernel) in VMEM scratch — still O(L) memory,
     where the XLA recompute fallback (GMDX_FLASH_BWD=0) materializes the
     (Sq, Sk) weights and their gradient.
-  * Base-2 softmax: log2(e) and the 1/sqrt(d) scale are folded into Q once
-    (a fusible elementwise op), so the VPU runs native exp2 with no
+  * Base-2 softmax: log2(e) and the 1/sqrt(d) scale are folded into the Q
+    block as it is read from VMEM inside each kernel (blk_q*d VPU ops,
+    amortized over blk_q*blk_k logits), so the VPU runs native exp2 with no
     per-logit multiply; numerator and denominator share the base, so the
     normalized weights are unchanged. The backward folds the matching
-    constants into its epilogues (dK /= log2(e), dQ *= scale).
+    constants into its epilogues (dK /= log2(e), dQ *= scale). Scaling used
+    to happen OUTSIDE the kernels ("fold into Q once"), but custom-call
+    operands cannot fuse, so that materialized a full HBM round trip of Q
+    per call — visible as per-attention "convert_element_type" copies
+    (~0.6% of the dual denoise step) in device traces.
 """
 
 from __future__ import annotations
@@ -67,7 +72,7 @@ def _env_block(var: str, default: int) -> int:
 
 def _flash_kernel(
     sk_ref,  # SMEM (1,): true (unpadded) key length
-    q_ref,  # VMEM (1, blk_q, d) — pre-scaled by sm_scale*log2(e)
+    q_ref,  # VMEM (1, blk_q, d)
     k_ref,  # VMEM (1, blk_k, d)
     v_ref,  # VMEM (1, blk_k, d)
     o_ref,  # VMEM (1, blk_q, d)
@@ -77,6 +82,7 @@ def _flash_kernel(
     acc_scr,  # VMEM (blk_q, d) fp32 accumulator
     *,
     blk_k: int,
+    qscale: float,
     needs_mask: bool,
 ):
     kidx = pl.program_id(2)
@@ -88,7 +94,12 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]
+    # Scale Q in-kernel (sm_scale and the exp->exp2 base change): the block
+    # is VMEM-resident, so this costs blk_q*d VPU ops — while the former
+    # out-of-kernel pre-scale materialized a full HBM round trip of Q per
+    # call (custom-call operands cannot fuse; "convert_element_type" copies
+    # were ~0.6% of the dual denoise step in device traces).
+    q = (q_ref[0].astype(jnp.float32) * qscale).astype(q_ref.dtype)
     k = k_ref[0]
     s = jax.lax.dot_general(
         q,
@@ -162,9 +173,7 @@ def _flash_forward(
     sq_p = _round_up(sq, blk_q)
     sk_p = _round_up(sk, blk_k)
 
-    # Fold the softmax scale AND the exp->exp2 base change into Q once (a
-    # fusible elementwise op) instead of touching every (Sq, Sk) logit.
-    qp = (q.astype(jnp.float32) * (scale * _LOG2_E)).astype(dtype)
+    qp = q
     if sq_p != sq:
         qp = jnp.pad(qp, ((0, 0), (0, sq_p - sq), (0, 0)))
     kp, vp = k, v
@@ -176,7 +185,10 @@ def _flash_forward(
 
     grid = (bh, sq_p // blk_q, sk_p // blk_k)
     out, lse = pl.pallas_call(
-        functools.partial(_flash_kernel, blk_k=blk_k, needs_mask=needs_mask),
+        functools.partial(
+            _flash_kernel, blk_k=blk_k, qscale=scale * _LOG2_E,
+            needs_mask=needs_mask,
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -231,6 +243,7 @@ def _flash_bwd_dkv_kernel(
     dv_scr,  # VMEM (blk_k, d) fp32
     *,
     blk_k: int,
+    qscale: float,
     needs_mask: bool,
 ):
     """k-major pass: for one K/V block, iterate Q blocks, accumulate dK/dV."""
@@ -243,7 +256,8 @@ def _flash_bwd_dkv_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    qp = qp_ref[0]
+    # In-kernel Q scaling — same rationale as _flash_kernel.
+    qp = (qp_ref[0].astype(jnp.float32) * qscale).astype(qp_ref.dtype)
     k = k_ref[0]
     do = do_ref[0]
     s2 = jax.lax.dot_general(  # base-2 logits, (blk_q, blk_k)
@@ -292,6 +306,7 @@ def _flash_bwd_dq_kernel(
     *,
     blk_k: int,
     scale: float,
+    qscale: float,
     needs_mask: bool,
 ):
     """q-major pass: for one Q block, iterate K/V blocks, accumulate dQ."""
@@ -302,7 +317,7 @@ def _flash_bwd_dq_kernel(
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    qp = qp_ref[0]
+    qp = (qp_ref[0].astype(jnp.float32) * qscale).astype(qp_ref.dtype)
     k = k_ref[0]
     do = do_ref[0]
     s2 = jax.lax.dot_general(
@@ -357,7 +372,7 @@ def _flash_backward(
     sq_p = _round_up(sq, blk_q)
     sk_p = _round_up(sk, blk_k)
 
-    qp = (qf.astype(jnp.float32) * (scale * _LOG2_E)).astype(qf.dtype)
+    qp = qf  # scaled in-kernel (qscale) — see _flash_kernel
     dd = jnp.sum(
         gf.astype(jnp.float32) * of.astype(jnp.float32), axis=-1, keepdims=True
     )
@@ -384,7 +399,8 @@ def _flash_backward(
     row_spec = pl.BlockSpec((1, blk_q, 1), lambda b, j, i, sk: (b, i, 0))
     dk, dv = pl.pallas_call(
         functools.partial(
-            _flash_bwd_dkv_kernel, blk_k=blk_k, needs_mask=needs_mask
+            _flash_bwd_dkv_kernel, blk_k=blk_k, qscale=scale * _LOG2_E,
+            needs_mask=needs_mask,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -418,7 +434,7 @@ def _flash_backward(
     (dq,) = pl.pallas_call(
         functools.partial(
             _flash_bwd_dq_kernel, blk_k=blk_k, scale=scale,
-            needs_mask=needs_mask,
+            qscale=scale * _LOG2_E, needs_mask=needs_mask,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -452,7 +468,7 @@ def _flash_backward(
 
 def _flash_bsc_kernel(
     sk_ref,  # SMEM (1,): true (unpadded) key length
-    q_ref,  # VMEM (1, blk_q, C) — pre-scaled by sm_scale*log2(e)
+    q_ref,  # VMEM (1, blk_q, C)
     k_ref,  # VMEM (1, blk_k, C)
     v_ref,  # VMEM (1, blk_k, C)
     o_ref,  # VMEM (1, blk_q, C)
@@ -463,6 +479,7 @@ def _flash_bsc_kernel(
     blk_k: int,
     heads: int,
     head_dim: int,
+    qscale: float,
     needs_mask: bool,
 ):
     """Head-packed flash forward: operands stay in the (tokens, H*D) layout
@@ -486,7 +503,8 @@ def _flash_bsc_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]
+    # In-kernel Q scaling — same rationale as _flash_kernel.
+    q = (q_ref[0].astype(jnp.float32) * qscale).astype(q_ref.dtype)
     k = k_ref[0]
     v = v_ref[0]
 
@@ -560,7 +578,7 @@ def _flash_forward_bsc(
     sq_p = _round_up(sq, blk_q)
     sk_p = _round_up(sk, blk_k)
 
-    qp = (q.astype(jnp.float32) * (scale * _LOG2_E)).astype(dtype)
+    qp = q
     if sq_p != sq:
         qp = jnp.pad(qp, ((0, 0), (0, sq_p - sq), (0, 0)))
     kp, vp = k, v
@@ -577,6 +595,7 @@ def _flash_forward_bsc(
             blk_k=blk_k,
             heads=heads,
             head_dim=d,
+            qscale=scale * _LOG2_E,
             needs_mask=needs_mask,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -683,7 +702,7 @@ def flash_attention_bsc(
 
 
 def _xattn_kernel(
-    q_ref,  # VMEM (1, blk_q, C) — pre-scaled by sm_scale*log2(e)
+    q_ref,  # VMEM (1, blk_q, C)
     k_ref,  # VMEM (1, skp, C) — whole (padded) key range, resident
     v_ref,  # VMEM (1, skp, C)
     o_ref,  # VMEM (1, blk_q, C)
@@ -691,6 +710,7 @@ def _xattn_kernel(
     heads: int,
     head_dim: int,
     sk: int,
+    qscale: float,
     needs_mask: bool,
 ):
     """Short-K head-packed attention (cross-attention over text tokens).
@@ -705,7 +725,7 @@ def _xattn_kernel(
     too. K/V use constant-over-q index maps: fetched once per batch row and
     kept in VMEM across the q blocks.
     """
-    q = q_ref[0]
+    q = (q_ref[0].astype(jnp.float32) * qscale).astype(q_ref.dtype)
     k = k_ref[0]
     v = v_ref[0]
     col = None
@@ -756,7 +776,7 @@ def _xattn_forward_bsc(
     skp = _round_up(sk, 128)
     sq_p = _round_up(sq, blk_q)
 
-    qp = (q.astype(jnp.float32) * (scale * _LOG2_E)).astype(dtype)
+    qp = q
     if sq_p != sq:
         qp = jnp.pad(qp, ((0, 0), (0, sq_p - sq), (0, 0)))
     kp, vp = k, v
@@ -771,6 +791,7 @@ def _xattn_forward_bsc(
             heads=heads,
             head_dim=d,
             sk=sk,
+            qscale=scale * _LOG2_E,
             needs_mask=skp != sk,
         ),
         grid=grid,

@@ -551,10 +551,30 @@ class Upsample2D(nn.Module):
         o = self.channels
         pk = _subpixel_phase_kernels(kernel).astype(self.dtype)
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).astype(self.dtype)
-        z = jax.lax.conv_general_dilated(
-            xp, pk, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )  # (B, H+1, W+1, 4*O)
+        if os.environ.get("GMDX_SUBPIXEL_DOT", "0") == "1":
+            # OPT-IN (measured slower): the same 2x2 conv expressed as 4
+            # shifted matmuls, hoping to beat the conv_general lowering's
+            # ~34% MXU on the 1280-channel upsamples. End-to-end dual bench
+            # A/B: 0.8647 (conv) -> 0.8525 img/s/chip (dots) — the four
+            # separate dot outputs cost more HBM traffic than the conv's
+            # single fused write. Kept for re-evaluation at other shapes.
+            z = None
+            for a in (0, 1):
+                for bb in (0, 1):
+                    term = jnp.einsum(
+                        "bhwc,co->bhwo",
+                        jax.lax.slice_in_dim(
+                            jax.lax.slice_in_dim(xp, a, a + h + 1, axis=1),
+                            bb, bb + w + 1, axis=2,
+                        ),
+                        pk[a, bb],
+                    )
+                    z = term if z is None else z + term
+        else:
+            z = jax.lax.conv_general_dilated(
+                xp, pk, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )  # (B, H+1, W+1, 4*O)
         z = z + jnp.tile(bias, 4).astype(z.dtype)
         phases = [
             z[:, p : p + h, q : q + w, (2 * p + q) * o : (2 * p + q + 1) * o]

@@ -1,5 +1,6 @@
-"""Cross-cutting utilities: profiling, timing."""
+"""Cross-cutting utilities: profiling, timing, program caching."""
 
+from gmdx.utils.export_cache import cached_export, export_cache_dir
 from gmdx.utils.profiling import (
     AverageMeter,
     StepTimer,
@@ -14,8 +15,10 @@ __all__ = [
     "AverageMeter",
     "StepTimer",
     "annotate",
+    "cached_export",
     "device_memory_stats",
     "enable_compilation_cache",
+    "export_cache_dir",
     "sync",
     "trace",
 ]

@@ -1,0 +1,155 @@
+"""Persistent traced-program cache built on ``jax.export``.
+
+The XLA compilation cache (``enable_compilation_cache``) removes the
+*compile* cost of a warm run but not the *trace + lower* cost: re-tracing
+the 50-step dual-UNet scan is ~100 s of pure Python/StableHLO work per
+process (BENCHNOTES.md round 2), paid even when every compiled executable
+is already on disk.  ``jax.export`` serializes the traced module itself, so
+a warm run deserializes StableHLO (milliseconds) and goes straight to the
+XLA cache lookup.  Measured on the flash-attention kernel: 9.7 s cold vs
+0.06 s deserialized+cache-hit.
+
+The reference has nothing comparable (every process re-traces its torch
+graphs); this is TPU-native serving hygiene — the same mechanism an
+inference server uses to ship AOT programs.
+
+Cache keying: artifacts are only valid for the exact program, so the key
+digests the gmdx source tree, the jax version, the backend platform, every
+``GMDX_*`` environment variable (they select kernels at trace time), the
+caller's label, and the avals of the example arguments.  Any change falls
+back to a fresh trace and rewrites the artifact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Any, Callable, Optional
+
+__all__ = ["cached_export", "export_cache_dir"]
+
+
+def export_cache_dir(path: Optional[str] = None) -> Optional[str]:
+    """Directory for serialized exports.
+
+    Falls back to ``GMDX_EXPORT_CACHE``, then ``.cache/jax_export`` next to
+    the repo root (sibling of the XLA compile cache).  ``GMDX_EXPORT_CACHE=0``
+    (or ``off``/empty) disables, returning None.
+    """
+    env = os.environ.get("GMDX_EXPORT_CACHE")
+    if path is None:
+        if env is not None and env.strip().lower() in (
+            "", "0", "off", "false", "no",
+        ):
+            return None
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        path = env or os.path.join(repo_root, ".cache", "jax_export")
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        return None
+    return path
+
+
+def _source_digest() -> str:
+    """Content hash of every .py in the gmdx package (trace-determining)."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
+        dirnames.sort()
+        for name in sorted(filenames):
+            if not name.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, name)
+            h.update(p.encode())
+            with open(p, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()
+
+
+def _args_digest(args: Any, kwargs: Any) -> str:
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten((args, kwargs))
+    h = hashlib.sha256(str(treedef).encode())
+    for leaf in leaves:
+        aval = jax.api_util.shaped_abstractify(leaf)
+        h.update(str(aval).encode())
+    return h.hexdigest()
+
+
+def _full_key(key: str, args, kwargs) -> str:
+    import jax
+
+    h = hashlib.sha256()
+    for part in (
+        key,
+        jax.__version__,
+        jax.default_backend(),
+        jax.devices()[0].device_kind,
+        repr(sorted(
+            (k, v) for k, v in os.environ.items() if k.startswith("GMDX_")
+            and k not in ("GMDX_COMPILE_CACHE", "GMDX_EXPORT_CACHE")
+        )),
+        _source_digest(),
+        _args_digest(args, kwargs),
+    ):
+        h.update(str(part).encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:32]
+
+
+def cached_export(
+    fn: Callable,
+    *args: Any,
+    key: str,
+    cache_dir: Optional[str] = None,
+    verbose: bool = False,
+    **kwargs: Any,
+) -> Callable:
+    """Return a callable for ``fn`` specialized to ``args``/``kwargs`` avals,
+    reusing a serialized ``jax.export`` artifact when one matches.
+
+    On a miss (or any deserialization failure) the function is traced with
+    ``jax.jit``, exported, and the artifact written atomically; on a hit the
+    trace is skipped entirely.  The returned callable accepts the same
+    (pytree-structured) arguments as ``fn``.  Compilation still goes through
+    XLA — pair with :func:`enable_compilation_cache` so warm runs skip that
+    too.  If the cache directory is disabled, returns ``jax.jit(fn)``.
+    """
+    import jax
+    from jax import export as jax_export
+
+    cdir = export_cache_dir(cache_dir)
+    if cdir is None:
+        return jax.jit(fn)
+
+    path = os.path.join(cdir, f"{key}-{_full_key(key, args, kwargs)}.jaxexp")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                exp = jax_export.deserialize(f.read())
+            if verbose:
+                print(f"export cache hit: {path}", flush=True)
+            return exp.call
+        except Exception as e:  # stale/corrupt artifact -> re-trace
+            if verbose:
+                print(f"export cache unreadable ({e!r}); re-tracing", flush=True)
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+
+    exp = jax_export.export(jax.jit(fn))(*args, **kwargs)
+    try:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(exp.serialize())
+        os.replace(tmp, path)
+        if verbose:
+            print(f"export cache write: {path}", flush=True)
+    except OSError:
+        pass
+    return exp.call

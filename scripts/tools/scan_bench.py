@@ -97,7 +97,39 @@ def vae_decode(args):
     return body, z
 
 
-WORKLOADS = {"unet_fwd": unet_fwd, "vae_decode": vae_decode}
+def conv3x3(args):
+    """One 3x3 SAME conv at a chosen NHWC shape — for Winograd-vs-direct
+    per-shape A/Bs (GMDX_WINOGRAD=0 forces direct; --weight-dtype controls
+    the param dtype the dispatch sees)."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16
+    h = w = args.res // 8
+    c, o = args.in_ch, args.out_ch
+    wdt = jnp.dtype(args.weight_dtype)
+    kernel = jax.random.normal(jax.random.key(0), (3, 3, c, o), wdt) * 0.02
+    bias = jnp.zeros((o,), wdt)
+    x = jax.random.normal(jax.random.key(1), (args.batch, h, w, c), dtype)
+
+    from gmdx.kernels.winograd import winograd_conv3x3
+
+    def body(x):
+        out = winograd_conv3x3(x, kernel, bias)
+        if out is None:
+            out = jax.lax.conv_general_dilated(
+                x, kernel.astype(dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias.astype(dtype)
+        reps = c // o
+        chained = jnp.concatenate([out] * reps, axis=-1) if reps > 1 else out
+        return x * 0.5 + 0.5 * chained[..., :c]
+
+    return body, x
+
+
+WORKLOADS = {"unet_fwd": unet_fwd, "vae_decode": vae_decode,
+             "conv3x3": conv3x3}
 
 
 def main():
@@ -107,6 +139,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--channels-last", action="store_true")
+    ap.add_argument("--in-ch", type=int, default=320)
+    ap.add_argument("--out-ch", type=int, default=320)
+    ap.add_argument("--weight-dtype", default="float32")
     args = ap.parse_args()
 
     from gmdx.utils import enable_compilation_cache

@@ -64,6 +64,13 @@ class TestUpsample2D:
         np.testing.assert_allclose(
             np.asarray(y_sub), np.asarray(y_naive), atol=1e-5
         )
+        # Both lowerings of the phase conv (2x2 conv_general vs 4 shifted
+        # matmuls) must agree too.
+        monkeypatch.setenv("GMDX_SUBPIXEL_DOT", "0")
+        y_conv = m.apply(params, x)
+        np.testing.assert_allclose(
+            np.asarray(y_sub), np.asarray(y_conv), atol=1e-5
+        )
 
 
 class TestUNet:

@@ -57,3 +57,73 @@ def test_compilation_cache_path(tmp_path):
     d = str(tmp_path / "xla_cache")
     assert enable_compilation_cache(d) == d
     assert jax.config.jax_compilation_cache_dir == d
+
+
+class TestExportCache:
+    """cached_export: persistent traced-program cache (jax.export artifacts).
+
+    Warm processes skip re-tracing entirely — the mechanism behind bench.py's
+    sub-two-minute warm warmup (export_cache.py docstring has the numbers)."""
+
+    def _fn(self, x, y):
+        return {"s": x @ y, "t": (x.sum(), y * 2)}
+
+    def test_round_trip_and_hit(self, tmp_path):
+        from gmdx.utils import cached_export
+
+        x = jnp.arange(12.0).reshape(3, 4)
+        y = jnp.ones((4, 2))
+        ref = jax.jit(self._fn)(x, y)
+
+        call = cached_export(self._fn, x, y, key="t", cache_dir=str(tmp_path))
+        out = call(x, y)
+        files = list(tmp_path.glob("t-*.jaxexp"))
+        assert len(files) == 1
+
+        # Second construction must load the artifact, not re-trace: poison
+        # the function so a re-trace would raise.
+        def poisoned(x, y):
+            raise AssertionError("re-traced despite cache hit")
+
+        call2 = cached_export(poisoned, x, y, key="t", cache_dir=str(tmp_path))
+        out2 = call2(x, y)
+        for a, b, c in zip(
+            jax.tree_util.tree_leaves(ref),
+            jax.tree_util.tree_leaves(out),
+            jax.tree_util.tree_leaves(out2),
+        ):
+            assert jnp.allclose(a, b) and jnp.allclose(a, c)
+
+    def test_key_tracks_avals_and_env(self, tmp_path, monkeypatch):
+        from gmdx.utils import cached_export
+
+        x = jnp.ones((3, 4))
+        y = jnp.ones((4, 2))
+        cached_export(self._fn, x, y, key="t", cache_dir=str(tmp_path))
+        cached_export(  # different shapes -> second artifact
+            self._fn, jnp.ones((5, 4)), y, key="t", cache_dir=str(tmp_path)
+        )
+        assert len(list(tmp_path.glob("t-*.jaxexp"))) == 2
+        # GMDX_* env selects kernels at trace time -> must change the key
+        monkeypatch.setenv("GMDX_WINOGRAD", "0")
+        cached_export(self._fn, x, y, key="t", cache_dir=str(tmp_path))
+        assert len(list(tmp_path.glob("t-*.jaxexp"))) == 3
+
+    def test_corrupt_artifact_recovers(self, tmp_path):
+        from gmdx.utils import cached_export
+
+        x = jnp.ones((2, 2))
+        y = jnp.ones((2, 2))
+        cached_export(self._fn, x, y, key="t", cache_dir=str(tmp_path))
+        (f,) = tmp_path.glob("t-*.jaxexp")
+        f.write_bytes(b"garbage")
+        out = cached_export(self._fn, x, y, key="t", cache_dir=str(tmp_path))(x, y)
+        assert jnp.allclose(out["s"], jax.jit(self._fn)(x, y)["s"])
+
+    def test_disabled_falls_back_to_jit(self, monkeypatch):
+        from gmdx.utils import cached_export
+
+        monkeypatch.setenv("GMDX_EXPORT_CACHE", "0")
+        x = jnp.ones((2, 2))
+        out = cached_export(self._fn, x, x, key="t")(x, x)
+        assert jnp.allclose(out["s"], jax.jit(self._fn)(x, x)["s"])
