@@ -35,6 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
+# One-hot group reductions/broadcasts are tiny row-vector matmuls; run
+# them at exact fp32 MXU precision (default bf16 passes cost ~2.6e-3 rel
+# error in the stats for zero measurable speed win at these shapes).
+_HI = jax.lax.Precision.HIGHEST
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -62,10 +67,10 @@ def _stats_kernel(x_ref, out_ref, acc_ref, *, num_groups: int, gsize: int):
     colsum = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
     colsq = jnp.sum(x * x, axis=0, keepdims=True)
     acc_ref[0:1, :] += jnp.dot(
-        colsum, onehot, preferred_element_type=jnp.float32
+        colsum, onehot, preferred_element_type=jnp.float32, precision=_HI,
     )
     acc_ref[1:2, :] += jnp.dot(
-        colsq, onehot, preferred_element_type=jnp.float32
+        colsq, onehot, preferred_element_type=jnp.float32, precision=_HI
     )
 
     @pl.when(j == pl.num_programs(1) - 1)
@@ -85,8 +90,10 @@ def _apply_kernel(
     rstd = jax.lax.rsqrt(var + eps)
     # Broadcast group stats to channels via the one-hot (G -> C) matmul.
     onehot_t = _group_onehot(c, mean.shape[-1]).T  # (G, C)
-    mean_c = jnp.dot(mean, onehot_t, preferred_element_type=jnp.float32)
-    rstd_c = jnp.dot(rstd, onehot_t, preferred_element_type=jnp.float32)
+    mean_c = jnp.dot(mean, onehot_t, precision=_HI,
+                     preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(rstd, onehot_t, precision=_HI,
+                     preferred_element_type=jnp.float32)
     y = (x - mean_c) * rstd_c
     y = y * scale_ref[0].astype(jnp.float32)[None, :] + (
         bias_ref[0].astype(jnp.float32)[None, :]
@@ -180,8 +187,10 @@ def _gn_bwd_compute_dy(x, g, stats_ref, scale_ref, bias_ref, num_groups,
     var = s[1:2] / n_elems - mean * mean
     rstd = jax.lax.rsqrt(var + eps)
     onehot_t = _group_onehot(c, mean.shape[-1]).T  # (G, C)
-    mean_c = jnp.dot(mean, onehot_t, preferred_element_type=jnp.float32)
-    rstd_c = jnp.dot(rstd, onehot_t, preferred_element_type=jnp.float32)
+    mean_c = jnp.dot(mean, onehot_t, precision=_HI,
+                     preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(rstd, onehot_t, precision=_HI,
+                     preferred_element_type=jnp.float32)
     xhat = (x - mean_c) * rstd_c
     if activate:
         y = xhat * scale_ref[0].astype(jnp.float32)[None, :] + (
@@ -220,11 +229,11 @@ def _gn_bwd_reduce_kernel(
     onehot = _group_onehot(x.shape[1], num_groups)
     accg_scr[0:1, :] += jnp.dot(
         jnp.sum(dxhat, axis=0, keepdims=True), onehot,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_HI,
     )
     accg_scr[1:2, :] += jnp.dot(
         jnp.sum(dxhat * xhat, axis=0, keepdims=True), onehot,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_HI,
     )
 
     @pl.when(j == pl.num_programs(1) - 1)
@@ -247,9 +256,11 @@ def _gn_bwd_apply_kernel(
     t = tg_ref[0]  # (2, G)
     onehot_t = _group_onehot(x.shape[1], num_groups).T
     m1 = jnp.dot(t[0:1] / n_elems, onehot_t,
-                 preferred_element_type=jnp.float32)  # mean(dxhat) per ch
+                 preferred_element_type=jnp.float32,
+                 precision=_HI)  # mean(dxhat) per ch
     m2 = jnp.dot(t[1:2] / n_elems, onehot_t,
-                 preferred_element_type=jnp.float32)  # mean(dxhat*xhat)
+                 preferred_element_type=jnp.float32,
+                 precision=_HI)  # mean(dxhat*xhat)
     dx = rstd_c * (dxhat - m1 - xhat * m2)
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
@@ -384,14 +395,18 @@ def _gn_onepass_math(x, scale_ref, bias_ref, num_groups, n_elems, eps,
     onehot = _group_onehot(c, num_groups)
     colsum = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
     colsq = jnp.sum(x * x, axis=0, keepdims=True)
-    gsum = jnp.dot(colsum, onehot, preferred_element_type=jnp.float32)
-    gsq = jnp.dot(colsq, onehot, preferred_element_type=jnp.float32)
+    gsum = jnp.dot(colsum, onehot, precision=_HI,
+                   preferred_element_type=jnp.float32)
+    gsq = jnp.dot(colsq, onehot, precision=_HI,
+                  preferred_element_type=jnp.float32)
     mean = gsum / n_elems  # (1, G)
     var = gsq / n_elems - mean * mean
     rstd = jax.lax.rsqrt(var + eps)
     onehot_t = onehot.T  # (G, C)
-    mean_c = jnp.dot(mean, onehot_t, preferred_element_type=jnp.float32)
-    rstd_c = jnp.dot(rstd, onehot_t, preferred_element_type=jnp.float32)
+    mean_c = jnp.dot(mean, onehot_t, precision=_HI,
+                     preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(rstd, onehot_t, precision=_HI,
+                     preferred_element_type=jnp.float32)
     y = (x - mean_c) * rstd_c
     y = y * scale_ref[0].astype(jnp.float32)[None, :] + (
         bias_ref[0].astype(jnp.float32)[None, :]
@@ -587,4 +602,231 @@ def _gn_forward(x, scale, bias, num_groups, eps, activate, interpret,
     return out.reshape(b, h, w, c), stats
 
 
-__all__ = ["fused_group_norm_silu", "gn_onepass_eligible"]
+def _group_onehot_parity(c: int, num_groups: int) -> jnp.ndarray:
+    """(2C, G) one-hot for the parity-in-lanes lane dim [q0 chans | q1
+    chans]: lane q*C+ch belongs to ch's group."""
+    ch = jax.lax.broadcasted_iota(jnp.int32, (2 * c, num_groups), 0) % c
+    grp = jax.lax.broadcasted_iota(jnp.int32, (2 * c, num_groups), 1)
+    return (ch // (c // num_groups) == grp).astype(jnp.float32)
+
+
+def _gn_parity_pad_kernel(
+    x_ref,  # VMEM (1, T, 2, Tc, 2C) — one image, Winograd parity layout
+    scale_ref,  # VMEM (1, 2C) — channel scale TILED x2 (parity lanes)
+    bias_ref,  # VMEM (1, 2C)
+    temb_ref,  # VMEM (1, 1, 2C) — per-image temb proj tiled x2 (or zeros)
+    o_ref,  # VMEM (1, T+1, 2, Tc+1, 2C) — padded parity layout
+    *,
+    num_groups: int,
+    n_elems: int,
+    eps: float,
+    activate: bool,
+    t: int,
+    tc: int,
+    c: int,
+    add_temb: bool,
+):
+    """One-pass GN(+SiLU) over the Winograd parity-in-lanes layout,
+    emitting the 1-px zero-bordered PADDED parity layout the Winograd
+    kernel's ``parity_in`` path consumes. With ``add_temb`` the resnet
+    time-embedding bias is added BEFORE the statistics (the chain is
+    conv1 -> +temb -> GN2 -> conv2), folding the elementwise temb pass
+    into this kernel. The whole resnet tail then never leaves the parity
+    layout — no XLA retile copies (those measured ~4.3% of the dual
+    denoise step, BENCHNOTES.md round 2).
+
+    Padded-parity construction: target phase (p', q') of the padded image
+    maps to source phase (1-p', 1-q') shifted by one tile row/column —
+    every write is a full-block store of VMEM concats (rows on an untiled
+    dim, columns a sublane concat, channels a lane slice), no strided ops.
+    """
+    x = x_ref[0].astype(jnp.float32)  # (T, 2, Tc, 2C)
+    if add_temb:
+        x = x + temb_ref[0, 0].astype(jnp.float32)
+    xf = x.reshape(t * 2 * tc, 2 * c)  # free: merges untiled/sublane dims
+
+    onehot = _group_onehot_parity(c, num_groups)
+    colsum = jnp.sum(xf, axis=0, keepdims=True)  # (1, 2C)
+    colsq = jnp.sum(xf * xf, axis=0, keepdims=True)
+    gsum = jnp.dot(colsum, onehot, precision=_HI,
+                   preferred_element_type=jnp.float32)
+    gsq = jnp.dot(colsq, onehot, precision=_HI,
+                  preferred_element_type=jnp.float32)
+    mean = gsum / n_elems  # (1, G)
+    var = gsq / n_elems - mean * mean
+    rstd = jax.lax.rsqrt(var + eps)
+    onehot_t = onehot.T  # (G, 2C)
+    mean_c = jnp.dot(mean, onehot_t, precision=_HI,
+                     preferred_element_type=jnp.float32)
+    rstd_c = jnp.dot(rstd, onehot_t, precision=_HI,
+                     preferred_element_type=jnp.float32)
+    y = (xf - mean_c) * rstd_c
+    y = y * scale_ref[0].astype(jnp.float32)[None, :] + (
+        bias_ref[0].astype(jnp.float32)[None, :]
+    )
+    if activate:
+        y = y * jax.nn.sigmoid(y)
+    y = y.reshape(t, 2, tc, 2 * c)  # fp32: tpu.dynamic_rotate is 32-bit-only
+
+    # Padded write: o[a', p', b', q'*C+ch] = y[2a'+p'-1, 2b'+q'-1, ch]
+    # (image coords), i.e. source parity (1-p', 1-q') with a leading zero
+    # row/col for p'=0/q'=0 and a trailing one for p'=1/q'=1.
+    #
+    # Column construction stays FULL lane width throughout: a lane slice at
+    # C (offset C mod 128, e.g. 64 for SD's 320-channel level) cannot feed
+    # tpu.concatenate ("offset mismatch on non-concat dimension"). Instead
+    # build lead = [0|y] and trail = [y|0] sublane concats (both offset-0),
+    # pick trail for the q=0 lane half / lead for the q=1 half with a
+    # lane-iota select, and swap the halves with one pltpu.roll(C): the
+    # rolled lanes are exactly [q'=0 <- q1-led | q'=1 <- q0-trailed].
+    zrow = jnp.zeros((1, tc + 1, 2 * c), o_ref.dtype)
+    zcol = jnp.zeros((t, 1, 2 * c), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t, tc + 1, 2 * c), 2)
+
+    def _plane(src):  # (T, Tc, 2C) fp32 -> (T, Tc+1, 2C), target phase pair
+        lead = jnp.concatenate([zcol, src], axis=1)
+        trail = jnp.concatenate([src, zcol], axis=1)
+        rolled = pltpu.roll(jnp.where(lane < c, trail, lead), c, axis=2)
+        return rolled.astype(o_ref.dtype)
+
+    # Source row parity 1 feeds target p'=0 (leading zero row) and parity 0
+    # feeds p'=1 (trailing zero row); the row concat is on an untiled dim.
+    o_ref[0, :, 0] = jnp.concatenate([zrow, _plane(y[:, 1])], axis=0)
+    o_ref[0, :, 1] = jnp.concatenate([_plane(y[:, 0]), zrow], axis=0)
+
+
+def _parity_gn_mirror(x5, scale, bias, temb, num_groups, eps, activate):
+    """jnp twin of the parity GN kernel (backward recompute target): parity
+    -> NHWC -> (+temb) -> GN(+SiLU) -> 1-px pad -> padded parity."""
+    b, t, _, tc, c2 = x5.shape
+    c = c2 // 2
+    x = x5.reshape(b, 2 * t, 2 * tc, c)
+    if temb is not None:
+        x = x + temb[:, None, None, :].astype(x.dtype)
+    y = _gn_silu_reference(x, scale, bias, num_groups, eps, activate)
+    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return yp.reshape(b, t + 1, 2, tc + 1, 2 * c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _parity_gn_pallas(
+    x5, scale, bias, temb, num_groups, eps, activate, interpret, add_temb
+):
+    b, t, _, tc, c2 = x5.shape
+    c = c2 // 2
+    n_elems = (2 * t) * (2 * tc) * (c // num_groups)
+    scale2 = jnp.tile(scale, 2).reshape(1, 2 * c)
+    bias2 = jnp.tile(bias, 2).reshape(1, 2 * c)
+    if add_temb:
+        temb2 = jnp.concatenate(
+            [temb, temb], axis=-1
+        ).astype(x5.dtype).reshape(b, 1, 2 * c)
+    else:
+        temb2 = jnp.zeros((b, 1, 2 * c), x5.dtype)
+    out = pl.pallas_call(
+        functools.partial(
+            _gn_parity_pad_kernel, num_groups=num_groups, n_elems=n_elems,
+            eps=eps, activate=activate, t=t, tc=tc, c=c, add_temb=add_temb,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, 2, tc, 2 * c), lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t + 1, 2, tc + 1, 2 * c), lambda i: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, t + 1, 2, tc + 1, 2 * c), x5.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x5, scale2, bias2, temb2)
+    return out
+
+
+def _parity_gn_fwd(
+    x5, scale, bias, temb, num_groups, eps, activate, interpret, add_temb
+):
+    out = _parity_gn_pallas(
+        x5, scale, bias, temb, num_groups, eps, activate, interpret,
+        add_temb,
+    )
+    return out, (x5, scale, bias, temb)
+
+
+def _parity_gn_bwd(num_groups, eps, activate, interpret, add_temb, res, g):
+    x5, scale, bias, temb = res
+    if add_temb:
+        _, vjp = jax.vjp(
+            lambda x_, s_, b_, t_: _parity_gn_mirror(
+                x_, s_, b_, t_, num_groups, eps, activate
+            ),
+            x5, scale, bias, temb,
+        )
+        return vjp(g)
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _parity_gn_mirror(
+            x_, s_, b_, None, num_groups, eps, activate
+        ),
+        x5, scale, bias,
+    )
+    dx, ds, db = vjp(g)
+    return dx, ds, db, None
+
+
+_parity_gn_pallas.defvjp(_parity_gn_fwd, _parity_gn_bwd)
+
+
+def parity_gn_pad_silu(
+    x5: Array,  # (B, T, 2, Tc, 2C) — Winograd parity-in-lanes layout
+    scale: Array,  # (C,)
+    bias: Array,  # (C,)
+    temb: Array | None = None,  # (B, C) — added BEFORE the statistics
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    activate: bool = True,
+    interpret: bool = False,
+):
+    """Fused (+temb) -> GroupNorm -> SiLU over the Winograd parity-5D
+    layout, emitting the PADDED parity layout (B, T+1, 2, Tc+1, 2C) that
+    ``winograd_conv3x3(parity_in=True)`` consumes. The resnet tail
+    conv1 -> +temb -> GN2 -> conv2 stays in one physical layout end to
+    end — no XLA retiles and no separate temb elementwise pass.
+
+    Returns None when ineligible (caller falls back to the NHWC path).
+    Differentiable: backward recomputes through the jnp mirror.
+    """
+    if x5.ndim != 5 or x5.shape[2] != 2:
+        return None
+    b, t, _, tc, c2 = x5.shape
+    c = c2 // 2
+    if c % num_groups:
+        return None
+    # Same whole-image VMEM budget as the one-pass NHWC kernel.
+    if (2 * t) * (2 * tc) * c * x5.dtype.itemsize > _ONEPASS_BUDGET:
+        return None
+    if jax.default_backend() != "tpu" and not interpret:
+        return None
+    return _parity_gn_pallas(
+        x5, scale, bias, temb, num_groups, eps, activate, interpret,
+        temb is not None,
+    )
+
+
+__all__ = [
+    "fused_group_norm_silu",
+    "gn_onepass_eligible",
+    "parity_gn_pad_silu",
+]

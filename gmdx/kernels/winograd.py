@@ -721,9 +721,33 @@ def _conv3x3_valid(xp: Array, kernel: Array, bias: Array) -> Array:
     return out + bias.astype(out.dtype)
 
 
+def nhwc_to_parity5(x: Array) -> Array:
+    """(B, H, W, C) -> the Winograd parity-in-lanes layout
+    (B, H//2, 2, W//2, 2C). One row-major-compatible reshape — logically
+    free, but XLA retiles the physical (8, 128) layout, so crossing this
+    boundary costs a real HBM copy. The parity-chain plumbing exists to
+    NOT cross it (see ResnetBlock2D)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2 * c)
+
+
+def parity5_to_nhwc(x5: Array) -> Array:
+    """Inverse of :func:`nhwc_to_parity5` (same retile caveat)."""
+    b, t, _, tc, c2 = x5.shape
+    return x5.reshape(b, 2 * t, 2 * tc, c2 // 2)
+
+
 def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret,
-                  stream=False, trs=0):
-    if pre_padded:
+                  stream=False, trs=0, parity_in=False, parity_out_req=False):
+    if parity_in:
+        # x IS the padded parity-in-lanes array (B, Tp_r, 2, Tp, 2C) — e.g.
+        # straight from the parity-emitting GroupNorm kernel. No pad, no
+        # reshape, no retile.
+        xl = x
+        b, tp_r, _, tp, c2 = x.shape
+        c = c2 // 2
+        h, w = 2 * (tp_r - 1), 2 * (tp - 1)
+    elif pre_padded:
         xp = x
         b, hp, wp, c = x.shape
         h, w = hp - 2, wp - 2
@@ -746,11 +770,14 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret,
         t_rows_p = t_rows
     oc_w = o_ch // ochunks  # chunk width
 
-    tp_r = t_rows_p + 1  # parity row count of the (possibly row-padded) img
-    tp = (w + 2) // 2
-    # FREE reshape (row-major compatible, no copy): row parity splits into
-    # an untiled dim, column parity merges into the LANE dim.
-    xl = xp.reshape(b, tp_r, 2, tp, 2 * c)
+    if not parity_in:
+        tp_r = t_rows_p + 1  # parity row count of the (maybe row-padded) img
+        tp = (w + 2) // 2
+        # Row-major-compatible reshape: row parity splits into an untiled
+        # dim, column parity merges into the LANE dim. Logically free, but
+        # XLA retiles the physical layout — the parity_in path exists to
+        # skip this copy.
+        xl = xp.reshape(b, tp_r, 2, tp, 2 * c)
     if stream and tp % 8:
         # The slab DMA slices the tiled HBM memref; its second-minor dim
         # (parity columns) must be 8-aligned or Mosaic rejects the copy.
@@ -829,7 +856,13 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret,
         interpret=interpret,
     )(xl, g2, b2)
     if parity_out:
-        # (B, Tp, 2, Tc, 2*O) -> (B, Hp, W, O): FREE, row-major compatible.
+        if parity_out_req:
+            # Caller consumes the parity layout directly (the parity-GN
+            # kernel / a parity_in conv downstream) — skip the reshape and
+            # the XLA retile it implies. Gated on non-stream + ochunks==1
+            # by winograd_parity_io, so t_rows_p == t_rows here.
+            return out  # (B, T, 2, Tc, 2*O)
+        # (B, Tp, 2, Tc, 2*O) -> (B, Hp, W, O): row-major compatible.
         out = out.reshape(b, 2 * t_rows_p, w, o_ch)
     else:
         # Phase-major (B, 2, 2, Tp, Tc, O) -> (B, Hp, W, O): same
@@ -840,20 +873,42 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret,
     return out[:, :h] if t_rows_p != t_rows else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11)
+)
 def _wino_conv(x, kernel, bias, split, ochunks=1, pre_padded=False,
-               interpret=False, m=2, stream=False, trs=0):
+               interpret=False, m=2, stream=False, trs=0, parity_in=False,
+               parity_out=False):
     if m != 2:
         return _wino4_forward(
             x, kernel, bias, split, ochunks, pre_padded, interpret
         )
     return _wino_forward(
-        x, kernel, bias, split, ochunks, pre_padded, interpret, stream, trs
+        x, kernel, bias, split, ochunks, pre_padded, interpret, stream, trs,
+        parity_in, parity_out,
     )
 
 
+def _ref_conv_layouts(pre_padded, parity_in, parity_out):
+    """The direct-XLA-conv twin of the kernel dispatch at a given layout
+    combination — the training primal/backward path (reshapes here are
+    XLA retiles, paid only under AD)."""
+
+    def ref(x, kernel, bias):
+        if parity_in:
+            x = parity5_to_nhwc(x)
+            out = _conv3x3_valid(x, kernel, bias)
+        elif pre_padded:
+            out = _conv3x3_valid(x, kernel, bias)
+        else:
+            out = _conv3x3_reference(x, kernel, bias)
+        return nhwc_to_parity5(out) if parity_out else out
+
+    return ref
+
+
 def _wino_fwd(x, kernel, bias, split, ochunks, pre_padded, interpret, m,
-              stream=False, trs=0):
+              stream=False, trs=0, parity_in=False, parity_out=False):
     # Under differentiation (training), the primal defaults to the DIRECT
     # XLA conv, not the Pallas kernel: custom-call boundaries pin every
     # conv input as an opaque residual and block XLA's pad-fusion/remat
@@ -866,17 +921,19 @@ def _wino_fwd(x, kernel, bias, split, ochunks, pre_padded, interpret, m,
     if os.environ.get("GMDX_WINOGRAD_TRAIN", "0") == "1":
         out = _wino_conv(
             x, kernel, bias, split, ochunks, pre_padded, interpret, m,
-            stream, trs,
+            stream, trs, parity_in, parity_out,
         )
     else:
-        ref = _conv3x3_valid if pre_padded else _conv3x3_reference
-        out = ref(x, kernel, bias)
+        out = _ref_conv_layouts(pre_padded, parity_in, parity_out)(
+            x, kernel, bias
+        )
     return out, (x, kernel, bias)
 
 
-def _wino_bwd(split, ochunks, pre_padded, interpret, m, stream, trs, res, g):
+def _wino_bwd(split, ochunks, pre_padded, interpret, m, stream, trs,
+              parity_in, parity_out, res, g):
     x, kernel, bias = res
-    ref = _conv3x3_valid if pre_padded else _conv3x3_reference
+    ref = _ref_conv_layouts(pre_padded, parity_in, parity_out)
     _, vjp = jax.vjp(ref, x, kernel, bias)
     return vjp(g)
 
@@ -945,12 +1002,37 @@ def winograd_eligible(
     return interpret or jax.default_backend() == "tpu"
 
 
+def winograd_parity_io(
+    shape, out_ch: int, itemsize: int, interpret: bool = False,
+    io: str = "out",
+) -> bool:
+    """Whether a conv at this UNPADDED NHWC shape dispatches the F(2x2)
+    kernel with native parity-5D I/O, letting the resnet chain
+    conv1 -> GN2 -> conv2 skip the XLA retiles entirely.
+
+    ``io="in"``: the input side — needs only the F(2x2) non-streaming
+    kernel (the input image block is never chunked). ``io="out"``: the
+    output side additionally needs ochunks==1 (a chunked parity write
+    would span two disjoint lane ranges)."""
+    if not winograd_eligible(shape, out_ch, itemsize, interpret):
+        return False
+    b, h, w, c = shape
+    m, _split, ochunks, stream, _trs = _select_tiling(
+        h, w, c, out_ch, itemsize, itemsize
+    )
+    if m != 2 or stream:
+        return False
+    return ochunks == 1 or io == "in"
+
+
 def winograd_conv3x3(
     x: Array,
     kernel: Array,
     bias: Array,
     *,
     pre_padded: bool = False,
+    parity_in: bool = False,
+    parity_out: bool = False,
     interpret: bool = False,
 ) -> Array | None:
     """3x3 stride-1 SAME conv over NHWC via Winograd — F(4x4, 3x3) where it
@@ -970,11 +1052,21 @@ def winograd_conv3x3(
     """
     if os.environ.get("GMDX_WINOGRAD", "1") != "1":
         return None
-    if x.ndim != 4 or kernel.shape[:2] != (3, 3):
+    if kernel.shape[:2] != (3, 3):
         return None
-    b, h, w, c = x.shape
-    if pre_padded:
-        h, w = h - 2, w - 2
+    if parity_in:
+        # x is the PADDED parity-5D array (B, Tp_r, 2, Tp, 2C).
+        if x.ndim != 5:
+            return None
+        b = x.shape[0]
+        h, w = 2 * (x.shape[1] - 1), 2 * (x.shape[3] - 1)
+        c = x.shape[4] // 2
+    elif x.ndim != 4:
+        return None
+    else:
+        b, h, w, c = x.shape
+        if pre_padded:
+            h, w = h - 2, w - 2
     o_ch = kernel.shape[-1]
     if h != w or h % 2 or h < 16:
         return None
@@ -1002,10 +1094,28 @@ def winograd_conv3x3(
         return None
     if jax.default_backend() != "tpu" and not interpret:
         return None
-    return _wino_conv(
+    # Parity I/O is only kernel-native for unchunked, non-streaming F(2x2)
+    # (winograd_parity_io gates callers) — on a mismatched tiling convert
+    # at the boundary so the call stays correct (status-quo retile cost).
+    kernel_parity = m == 2 and ochunks == 1 and not stream
+    p_in = parity_in and kernel_parity
+    p_out = parity_out and kernel_parity
+    if parity_in and not p_in:
+        x = parity5_to_nhwc(x)  # parity input is always the padded image
+        pre_padded = True
+    out = _wino_conv(
         x, kernel, bias, split, ochunks, pre_padded, interpret, m,
-        stream, trs,
+        stream, trs, p_in, p_out,
     )
+    if parity_out and not p_out:
+        out = nhwc_to_parity5(out)
+    return out
 
 
-__all__ = ["winograd_conv3x3", "winograd_eligible"]
+__all__ = [
+    "winograd_conv3x3",
+    "winograd_eligible",
+    "winograd_parity_io",
+    "nhwc_to_parity5",
+    "parity5_to_nhwc",
+]

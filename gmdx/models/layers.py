@@ -85,17 +85,54 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, activate: bool = False, pad_output: bool = False
+        self,
+        x: Array,
+        activate: bool = False,
+        pad_output: bool = False,
+        parity: bool = False,
+        parity_temb: Optional[Array] = None,
     ) -> Array:
         """``pad_output=True`` (TPU fused path only — callers gate on
         :func:`_gn_pads_conv_ok`) emits the 1-px zero-padded image that a
         following Winograd 3x3 conv consumes directly, deleting the XLA
-        pad pass between GN and conv."""
+        pad pass between GN and conv.
+
+        ``parity=True``: x is the Winograd parity-5D layout
+        (B, T, 2, Tc, 2C) (a ``parity_out`` conv result); the kernel adds
+        ``parity_temb`` (per-image channel bias, BEFORE the statistics),
+        normalizes, activates, and emits the PADDED parity layout for a
+        ``parity_in`` conv — the whole resnet tail stays in one physical
+        layout (gmdx/kernels/groupnorm.py parity_gn_pad_silu)."""
         import os
 
-        c = x.shape[-1]
+        c = x.shape[-1] // 2 if parity else x.shape[-1]
         scale, bias = _GNScaleBias(c, name="norm")()
         orig_dtype = x.dtype
+
+        if parity:
+            from gmdx.kernels.groupnorm import parity_gn_pad_silu
+
+            out = parity_gn_pad_silu(
+                x, scale, bias, parity_temb,
+                num_groups=self.num_groups, eps=self.epsilon,
+                activate=activate,
+            )
+            if out is not None:
+                return out
+            # Safety fallback (callers gate on eligibility): NHWC round
+            # trip — correct, status-quo retile cost.
+            from gmdx.kernels.winograd import nhwc_to_parity5, parity5_to_nhwc
+
+            from gmdx.kernels.groupnorm import _gn_silu_reference
+
+            ximg = parity5_to_nhwc(x)
+            if parity_temb is not None:
+                ximg = ximg + parity_temb[:, None, None, :].astype(ximg.dtype)
+            out = _gn_silu_reference(
+                ximg, scale, bias, self.num_groups, self.epsilon, activate
+            )
+            out = jnp.pad(out, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            return nhwc_to_parity5(out)
 
         # Default-on: in-model the kernel beats XLA's GN lowering by ~9%
         # of a whole SD-1.5 UNet forward (72.9 -> 66.5 ms batch 8 bf16 —
@@ -384,8 +421,18 @@ class _Conv3x3Dispatch(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, pre_padded: bool = False) -> Array:
-        in_ch = x.shape[-1]
+    def __call__(
+        self,
+        x: Array,
+        pre_padded: bool = False,
+        parity_in: bool = False,
+        parity_out: bool = False,
+    ) -> Array:
+        """``parity_in``/``parity_out`` exchange the Winograd parity-5D
+        layout with adjacent kernels (the parity-emitting GroupNorm / a
+        downstream parity consumer) so the resnet tail never pays the XLA
+        retile between layouts. Callers gate on winograd_parity_io."""
+        in_ch = x.shape[-1] // 2 if parity_in else x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -394,22 +441,33 @@ class _Conv3x3Dispatch(nn.Module):
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
         x = x.astype(self.dtype)
 
-        from gmdx.kernels.winograd import winograd_conv3x3
+        from gmdx.kernels.winograd import (
+            nhwc_to_parity5,
+            parity5_to_nhwc,
+            winograd_conv3x3,
+        )
 
         # The kernel/bias stay in the PARAM dtype: the Winograd weight
         # transform upcasts to fp32 in-kernel anyway, and a pre-cast would
         # materialize an unfused convert_element_type of every conv weight
         # on every denoise step (custom-call operands cannot fuse; ~2% of
         # the dual step at the 1280-channel levels, BENCHNOTES.md).
-        out = winograd_conv3x3(x, kernel, bias, pre_padded=pre_padded)
+        out = winograd_conv3x3(
+            x, kernel, bias, pre_padded=pre_padded, parity_in=parity_in,
+            parity_out=parity_out,
+        )
         if out is not None:
             return out
+        if parity_in:
+            x = parity5_to_nhwc(x)  # parity input carries the 1-px border
+            pre_padded = True
         pad = "VALID" if pre_padded else ((1, 1), (1, 1))
         out = jax.lax.conv_general_dilated(
             x, kernel.astype(self.dtype), (1, 1), pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return out + bias.astype(self.dtype)
+        out = out + bias.astype(self.dtype)
+        return nhwc_to_parity5(out) if parity_out else out
 
 
 class ResnetBlock2D(nn.Module):
@@ -441,24 +499,59 @@ class ResnetBlock2D(nn.Module):
             )
 
         pad1 = _gn_pads_conv_ok(x.shape, self.out_channels)
+
+        # Parity chain: when BOTH convs dispatch the unchunked F(2x2)
+        # Winograd kernel and the mid activation fits the one-pass GN
+        # budget, the tail conv1 -> (+temb) -> GN2 -> conv2 stays in the
+        # parity-5D layout end to end: conv1 emits it, the parity GN kernel
+        # folds the temb add and emits the padded form, conv2 consumes it.
+        # Kills the XLA retile copies between the NHWC and parity layouts
+        # (~4.3% of the dual denoise step, BENCHNOTES.md round 2).
+        # GMDX_PARITY_CHAIN=0 opts out (trainers: the AD path pays layout
+        # conversions in the VJP rules instead).
+        def _parity_chain_ok():
+            from gmdx.kernels.groupnorm import gn_onepass_eligible
+            from gmdx.kernels.winograd import winograd_parity_io
+
+            itemsize = jnp.dtype(self.dtype).itemsize
+            mid = (x.shape[0], x.shape[1], x.shape[2], self.out_channels)
+            return (
+                pad1
+                and os.environ.get("GMDX_PARITY_CHAIN", "1") == "1"
+                and winograd_parity_io(x.shape, self.out_channels, itemsize)
+                and winograd_parity_io(mid, self.out_channels, itemsize)
+                and gn_onepass_eligible(mid, itemsize)
+            )
+
+        chain = _parity_chain_ok()
         h = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm1")(
             x, activate=True, pad_output=pad1
         )
         h = _Conv3x3Dispatch(self.out_channels, dtype=self.dtype, name="conv1")(
-            h, pre_padded=pad1
+            h, pre_padded=pad1, parity_out=chain
         )
+        t = None
         if self.use_temb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
-            h = h + t[:, None, None, :]
-        pad2 = _gn_pads_conv_ok(h.shape, self.out_channels)
-        h = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm2")(
-            h, activate=True, pad_output=pad2
-        )
-        h = _Conv3x3Dispatch(self.out_channels, dtype=self.dtype, name="conv2")(
-            h, pre_padded=pad2
-        )
+            if not chain:
+                h = h + t[:, None, None, :]
+        if chain:
+            h = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm2")(
+                h, activate=True, parity=True, parity_temb=t
+            )
+            h = _Conv3x3Dispatch(self.out_channels, dtype=self.dtype, name="conv2")(
+                h, parity_in=True
+            )
+        else:
+            pad2 = _gn_pads_conv_ok(h.shape, self.out_channels)
+            h = GroupNorm(32, 1e-5, dtype=self.dtype, name="norm2")(
+                h, activate=True, pad_output=pad2
+            )
+            h = _Conv3x3Dispatch(self.out_channels, dtype=self.dtype, name="conv2")(
+                h, pre_padded=pad2
+            )
         if in_channels != self.out_channels:
             x = nn.Conv(
                 self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"

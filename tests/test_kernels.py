@@ -614,6 +614,75 @@ class TestWinogradConv3x3:
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
+    def test_parity_io_matches_plain(self, monkeypatch):
+        """parity_in / parity_out 5D I/O is the same map as the NHWC call
+        (the layouts are pure relabelings — the in-kernel math is shared)."""
+        from gmdx.kernels.winograd import (
+            nhwc_to_parity5,
+            parity5_to_nhwc,
+            winograd_conv3x3,
+            winograd_parity_io,
+        )
+
+        monkeypatch.setenv("GMDX_WINOGRAD_M", "2")
+        ks = jax.random.split(jax.random.key(7), 3)
+        x = jax.random.normal(ks[0], (2, 16, 16, 64), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 3, 64, 64)) * 0.1
+        bias = jax.random.normal(ks[2], (64,)) * 0.1
+        assert winograd_parity_io((2, 16, 16, 64), 64, 4, interpret=True)
+        xp5 = nhwc_to_parity5(jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))))
+        with jax.default_matmul_precision("highest"):
+            base = winograd_conv3x3(x, k, bias, interpret=True)
+            po = winograd_conv3x3(x, k, bias, parity_out=True,
+                                  interpret=True)
+            pi = winograd_conv3x3(xp5, k, bias, parity_in=True,
+                                  interpret=True)
+            pio = winograd_conv3x3(xp5, k, bias, parity_in=True,
+                                   parity_out=True, interpret=True)
+        assert po.shape == (2, 8, 2, 8, 128)
+        np.testing.assert_allclose(
+            np.asarray(parity5_to_nhwc(po)), np.asarray(base), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(pi), np.asarray(base), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(parity5_to_nhwc(pio)), np.asarray(base), rtol=1e-6
+        )
+
+    def test_parity_io_grads(self, monkeypatch):
+        """The VJP rules convert layouts around the direct-conv twin: grads
+        through parity I/O must equal grads through the NHWC call."""
+        from gmdx.kernels.winograd import (
+            nhwc_to_parity5,
+            winograd_conv3x3,
+        )
+
+        monkeypatch.setenv("GMDX_WINOGRAD_M", "2")
+        ks = jax.random.split(jax.random.key(8), 3)
+        x = jax.random.normal(ks[0], (1, 16, 16, 32), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 3, 32, 32)) * 0.1
+        bias = jax.random.normal(ks[2], (32,)) * 0.1
+
+        def f_parity(x, k, b):
+            x5 = nhwc_to_parity5(jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))))
+            out = winograd_conv3x3(x5, k, b, parity_in=True,
+                                   parity_out=True, interpret=True)
+            return jnp.sum(out**2)
+
+        def f_plain(x, k, b):
+            return jnp.sum(
+                winograd_conv3x3(x, k, b, interpret=True) ** 2
+            )
+
+        with jax.default_matmul_precision("highest"):
+            ga = jax.grad(f_parity, argnums=(0, 1, 2))(x, k, bias)
+            gr = jax.grad(f_plain, argnums=(0, 1, 2))(x, k, bias)
+        for a, r in zip(ga, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), rtol=1e-4, atol=1e-5
+            )
+
     def test_unsupported_shapes_fall_back(self):
         from gmdx.kernels.winograd import winograd_conv3x3
 
@@ -658,6 +727,137 @@ class TestWinogradConv3x3:
             )
         assert direct.shape == x.shape
         assert wino.shape == (1, 16, 16, 32)
+
+
+class TestParityGroupNorm:
+    """parity_gn_pad_silu (gmdx/kernels/groupnorm.py): fused
+    (+temb) -> GN -> SiLU over the Winograd parity-5D layout emitting the
+    padded parity layout — the resnet-tail chain's middle kernel."""
+
+    @pytest.mark.parametrize("c", [64, 320])  # incl. non-128-aligned
+    @pytest.mark.parametrize("with_temb", [False, True])
+    def test_matches_mirror(self, c, with_temb):
+        from gmdx.kernels.groupnorm import (
+            _parity_gn_mirror,
+            parity_gn_pad_silu,
+        )
+        from gmdx.kernels.winograd import nhwc_to_parity5
+
+        ks = jax.random.split(jax.random.key(0), 4)
+        x = jax.random.normal(ks[0], (2, 16, 16, c)) * 2 + 1
+        x5 = nhwc_to_parity5(x)
+        s = 1 + 0.1 * jax.random.normal(ks[1], (c,))
+        b = 0.1 * jax.random.normal(ks[2], (c,))
+        temb = jax.random.normal(ks[3], (2, c)) if with_temb else None
+        got = parity_gn_pad_silu(x5, s, b, temb, num_groups=32,
+                                 interpret=True)
+        want = _parity_gn_mirror(x5, s, b, temb, 32, 1e-5, True)
+        assert got.shape == (2, 9, 2, 9, 2 * c)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+
+    def test_feeds_parity_in_conv(self):
+        """End-to-end chain piece: GN's padded-parity output into the
+        parity_in Winograd conv equals the NHWC composition."""
+        from gmdx.kernels.groupnorm import (
+            _gn_silu_reference,
+            parity_gn_pad_silu,
+        )
+        from gmdx.kernels.winograd import (
+            _conv3x3_reference,
+            nhwc_to_parity5,
+            winograd_conv3x3,
+        )
+
+        ks = jax.random.split(jax.random.key(1), 5)
+        x = jax.random.normal(ks[0], (1, 16, 16, 64))
+        s = 1 + 0.1 * jax.random.normal(ks[1], (64,))
+        b = 0.1 * jax.random.normal(ks[2], (64,))
+        k = jax.random.normal(ks[3], (3, 3, 64, 64)) * 0.1
+        cb = jax.random.normal(ks[4], (64,)) * 0.1
+        with jax.default_matmul_precision("highest"):
+            h5 = parity_gn_pad_silu(
+                nhwc_to_parity5(x), s, b, num_groups=32, interpret=True
+            )
+            got = winograd_conv3x3(h5, k, cb, parity_in=True,
+                                   interpret=True)
+            want = _conv3x3_reference(
+                _gn_silu_reference(x, s, b, 32, 1e-5, True), k, cb
+            )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+    def test_grads_match_mirror(self):
+        from gmdx.kernels.groupnorm import (
+            _parity_gn_mirror,
+            parity_gn_pad_silu,
+        )
+        from gmdx.kernels.winograd import nhwc_to_parity5
+
+        ks = jax.random.split(jax.random.key(2), 4)
+        x5 = nhwc_to_parity5(jax.random.normal(ks[0], (1, 8, 8, 64)))
+        s = 1 + 0.1 * jax.random.normal(ks[1], (64,))
+        b = 0.1 * jax.random.normal(ks[2], (64,))
+        temb = jax.random.normal(ks[3], (1, 64))
+
+        def f(x5, s, b, t):
+            return jnp.sum(
+                parity_gn_pad_silu(x5, s, b, t, num_groups=32,
+                                   interpret=True) ** 2
+            )
+
+        def fr(x5, s, b, t):
+            return jnp.sum(_parity_gn_mirror(x5, s, b, t, 32, 1e-5, True) ** 2)
+
+        ga = jax.grad(f, argnums=(0, 1, 2, 3))(x5, s, b, temb)
+        gr = jax.grad(fr, argnums=(0, 1, 2, 3))(x5, s, b, temb)
+        for a, r in zip(ga, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), rtol=1e-4, atol=1e-4
+            )
+
+    def test_resnet_parity_chain_equivalence(self, monkeypatch):
+        """ResnetBlock2D with the parity chain forced (interpret kernels,
+        spoofed TPU gates) vs the chain disabled — same params, same math."""
+        import functools
+
+        from gmdx.kernels import groupnorm as gnmod
+        from gmdx.kernels import winograd as wmod
+        from gmdx.models.layers import ResnetBlock2D
+
+        m = ResnetBlock2D(64)
+        x = jax.random.normal(jax.random.key(0), (1, 16, 16, 64))
+        temb = jax.random.normal(jax.random.key(1), (1, 96))
+        p = m.init(jax.random.key(2), x, temb)
+
+        with jax.default_matmul_precision("highest"):
+            monkeypatch.setenv("GMDX_PARITY_CHAIN", "0")
+            base = m.apply(p, x, temb)  # CPU: direct-conv fallback path
+
+            # Force the chain: spoof the backend gates and route every
+            # kernel through interpret mode.
+            monkeypatch.setenv("GMDX_PARITY_CHAIN", "1")
+            monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+            monkeypatch.setattr(
+                wmod, "winograd_conv3x3",
+                functools.partial(wmod.winograd_conv3x3, interpret=True),
+            )
+            monkeypatch.setattr(
+                gnmod, "parity_gn_pad_silu",
+                functools.partial(gnmod.parity_gn_pad_silu, interpret=True),
+            )
+            monkeypatch.setattr(
+                gnmod, "fused_group_norm_silu",
+                functools.partial(
+                    gnmod.fused_group_norm_silu, interpret=True
+                ),
+            )
+            chained = m.apply(p, x, temb)
+        np.testing.assert_allclose(
+            np.asarray(chained), np.asarray(base), rtol=2e-4, atol=2e-4
+        )
 
 
 class TestWinogradStreaming:
