@@ -1097,9 +1097,8 @@ def winograd_conv3x3(
     # Parity I/O is only kernel-native for unchunked, non-streaming F(2x2)
     # (winograd_parity_io gates callers) — on a mismatched tiling convert
     # at the boundary so the call stays correct (status-quo retile cost).
-    kernel_parity = m == 2 and ochunks == 1 and not stream
-    p_in = parity_in and kernel_parity
-    p_out = parity_out and kernel_parity
+    p_in = parity_in and m == 2 and not stream
+    p_out = parity_out and m == 2 and ochunks == 1 and not stream
     if parity_in and not p_in:
         x = parity5_to_nhwc(x)  # parity input is always the padded image
         pre_padded = True
