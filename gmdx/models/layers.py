@@ -119,20 +119,15 @@ class GroupNorm(nn.Module):
             )
             if out is not None:
                 return out
-            # Safety fallback (callers gate on eligibility): NHWC round
-            # trip — correct, status-quo retile cost.
-            from gmdx.kernels.winograd import nhwc_to_parity5, parity5_to_nhwc
+            # Safety fallback (callers gate on eligibility): the kernel's
+            # jnp mirror — the single source of the chain's reference
+            # semantics (also the backward recompute target).
+            from gmdx.kernels.groupnorm import _parity_gn_mirror
 
-            from gmdx.kernels.groupnorm import _gn_silu_reference
-
-            ximg = parity5_to_nhwc(x)
-            if parity_temb is not None:
-                ximg = ximg + parity_temb[:, None, None, :].astype(ximg.dtype)
-            out = _gn_silu_reference(
-                ximg, scale, bias, self.num_groups, self.epsilon, activate
+            return _parity_gn_mirror(
+                x, scale, bias, parity_temb, self.num_groups,
+                self.epsilon, activate,
             )
-            out = jnp.pad(out, ((0, 0), (1, 1), (1, 1), (0, 0)))
-            return nhwc_to_parity5(out)
 
         # Default-on: in-model the kernel beats XLA's GN lowering by ~9%
         # of a whole SD-1.5 UNet forward (72.9 -> 66.5 ms batch 8 bf16 —
@@ -518,8 +513,12 @@ class ResnetBlock2D(nn.Module):
             return (
                 pad1
                 and os.environ.get("GMDX_PARITY_CHAIN", "1") == "1"
+                # conv1 must EMIT parity (needs an unchunked output);
+                # conv2 only CONSUMES it (io="in" — chunked output fine).
                 and winograd_parity_io(x.shape, self.out_channels, itemsize)
-                and winograd_parity_io(mid, self.out_channels, itemsize)
+                and winograd_parity_io(
+                    mid, self.out_channels, itemsize, io="in"
+                )
                 and gn_onepass_eligible(mid, itemsize)
             )
 

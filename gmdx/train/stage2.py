@@ -161,16 +161,9 @@ def make_train_step(
     ``data`` mesh axis and replicate state/frozen; no further annotation is
     needed — jit propagates the shardings and inserts the grad all-reduce.
     """
-    import os
+    from gmdx.train._env import default_parity_chain_off
 
-    # The resnet parity chain (gmdx/models/layers.py) is an inference
-    # optimization: under AD its VJP rules pay NHWC<->parity conversions
-    # and the extra pinned custom-call residuals pushed the batch-8 512^2
-    # Stage-2 step to RESOURCE_EXHAUSTED on v5e (same failure mode that
-    # keeps the Winograd training primal on the direct conv). Default it
-    # off for training processes; an explicit GMDX_PARITY_CHAIN=1 opts
-    # back in where memory headroom allows.
-    os.environ.setdefault("GMDX_PARITY_CHAIN", "0")
+    default_parity_chain_off()
 
     noise_scheduler = noise_scheduler or DDPMScheduler()
     optimizer = optimizer or make_optimizer(config)
