@@ -246,6 +246,7 @@ def _pick_tiling(
 
 def _wino_kernel(
     x_ref,  # VMEM (1, Tp, 2, Tp, 2C) padded image, parity-in-lanes (whole)
+    #          — or (1, Tp, 2, Wp, C) half-parity (rows split, cols NHWC)
     g_ref,  # VMEM (9*C, Oc) conv kernel chunk, (k*3+l) tap-major rows
     b_ref,  # VMEM (1, Oc) bias chunk
     o_ref,  # parity_out: VMEM (1, Trs, 2, Tc, 2*O) parity-in-lanes slab;
@@ -258,6 +259,7 @@ def _wino_kernel(
     o_ch: int,  # output-channel chunk width
     parity_out: bool,
     stream: bool = False,  # x_ref is the FULL HBM array; DMA slabs in
+    halfparity: bool = False,  # column parity gathered in-kernel (one-hot MXU)
 ):
     # Grid (ochunk, batch, row-slab), all sequential. The o-chunk axis is
     # OUTERMOST so the weight transform below runs once per chunk (the
@@ -309,7 +311,7 @@ def _wino_kernel(
     # ~10 ms/iter). The row slab loads with a dynamic start on the untiled
     # dim; 2ty+i = 2(ty+i//2) + i%2 makes the remaining slices static and
     # unit-stride.
-    tp = x_ref.shape[3]
+    tp = x_ref.shape[3] // 2 if halfparity else x_ref.shape[3]
     row0 = s_idx * trs
     if stream:
         # Large-image variant: the padded image lives in HBM (ANY space);
@@ -328,13 +330,55 @@ def _wino_kernel(
             x_ref[0, pl.ds(row0, trs + 1), p_row]  # (trs+1, Tp, 2C)
             for p_row in range(2)
         ]
-    phases = [
-        [
-            jax.lax.slice_in_dim(slabs[p_row], q * c, (q + 1) * c, axis=2)
-            for q in range(2)
+    if halfparity:
+        # Half-parity input: rows are parity-split (free reshape — minor
+        # dims unchanged) but columns arrive in raw NHWC order, so the XLA
+        # NHWC -> parity-5D retile (HBM round trip at ~65% bandwidth for
+        # every non-parity-fed conv) never happens. The column-parity
+        # deinterleave runs HERE: Mosaic rejects stride-2 vector slices
+        # (probed — vector.extract_strided_slice wants strides in [1, 2)),
+        # so phases are gathered with one-hot MXU matmuls, one per slab
+        # row with both q-parities stacked in M: P[s, w] selects
+        # w == 2s (q=0 rows, s < tp8) or w == 2(s - tp8) + 1 (q=1 rows).
+        # One-hot selection through the MXU is exact in any dtype (single
+        # nonzero per row; fp32 accumulate) and rides a unit the kernel's
+        # VPU-heavy transform phase leaves mostly idle.
+        wp = x_ref.shape[3]
+        tp8 = -(-tp // 8) * 8  # 8-aligned q-block so the slices are free
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * tp8, wp), 0)
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * tp8, wp), 1)
+        odd = s_iota >= tp8
+        target = 2 * jnp.where(odd, s_iota - tp8, s_iota) + odd.astype(
+            jnp.int32
+        )
+        # Rows with s % tp8 >= tp have target >= 2*tp = wp: all-zero
+        # automatically (w_iota < wp), so no explicit bounds mask.
+        p_sel = (w_iota == target).astype(dtype)
+        phases = []
+        for p_row in range(2):
+            rows = [
+                jax.lax.dot_general(
+                    p_sel,
+                    slabs[p_row][a],  # (Wp, C)
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dtype)  # (2*tp8, C) — exact: one-hot selection
+                for a in range(trs + 1)
+            ]
+            st = jnp.stack(rows, axis=0)  # (trs+1, 2*tp8, C)
+            phases.append(
+                [st[:, :tp], st[:, tp8 : tp8 + tp]]
+            )
+    else:
+        phases = [
+            [
+                jax.lax.slice_in_dim(
+                    slabs[p_row], q * c, (q + 1) * c, axis=2
+                )
+                for q in range(2)
+            ]
+            for p_row in range(2)
         ]
-        for p_row in range(2)
-    ]
     d = [
         [
             jax.lax.slice(
@@ -770,14 +814,31 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret,
         t_rows_p = t_rows
     oc_w = o_ch // ochunks  # chunk width
 
+    halfparity = False
     if not parity_in:
         tp_r = t_rows_p + 1  # parity row count of the (maybe row-padded) img
         tp = (w + 2) // 2
-        # Row-major-compatible reshape: row parity splits into an untiled
-        # dim, column parity merges into the LANE dim. Logically free, but
-        # XLA retiles the physical layout — the parity_in path exists to
-        # skip this copy.
-        xl = xp.reshape(b, tp_r, 2, tp, 2 * c)
+        if not stream and os.environ.get(
+            "GMDX_WINOGRAD_HALFPARITY", "0"
+        ) == "1":
+            # Half-parity handoff: split ONLY the row parity — the minor
+            # two dims (Wp, C) are untouched, so this reshape is free at
+            # the physical-layout level (no XLA retile; the full parity
+            # reshape below costs an HBM round trip at ~65% bandwidth).
+            # The kernel deinterleaves column parity in-VMEM via one-hot
+            # MXU matmuls (see _wino_kernel). OPT-IN: measured 1.2-3.5%
+            # slower per conv than paying the XLA retile (BENCHNOTES.md
+            # round 3) — the gather's MXU permutation costs ~the same
+            # 10 us/image as the retile's HBM round trip; both sit at the
+            # layout transition's data-movement floor.
+            halfparity = True
+            xl = xp.reshape(b, tp_r, 2, w + 2, c)
+        else:
+            # Row-major-compatible reshape: row parity splits into an
+            # untiled dim, column parity merges into the LANE dim.
+            # Logically free, but XLA retiles the physical layout — the
+            # parity_in path exists to skip this copy.
+            xl = xp.reshape(b, tp_r, 2, tp, 2 * c)
     if stream and tp % 8:
         # The slab DMA slices the tiled HBM memref; its second-minor dim
         # (parity columns) must be 8-aligned or Mosaic rejects the copy.
@@ -817,8 +878,9 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret,
             pltpu.SemaphoreType.DMA,
         ]
     else:
+        x_blk = (1, tp_r, 2, w + 2, c) if halfparity else (1, tp_r, 2, tp, 2 * c)
         x_spec = pl.BlockSpec(
-            (1, tp_r, 2, tp, 2 * c), lambda oc, i, s: (i, 0, 0, 0, 0),
+            x_blk, lambda oc, i, s: (i, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
         scratch = [pltpu.VMEM((16 * c, oc_w), x.dtype)]
@@ -826,7 +888,7 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret,
     (out,) = pl.pallas_call(
         functools.partial(
             _wino_kernel, trs=trs, tc=tc, c=c, o_ch=oc_w,
-            parity_out=parity_out, stream=stream,
+            parity_out=parity_out, stream=stream, halfparity=halfparity,
         ),
         grid=(ochunks, b, split),
         in_specs=[

@@ -614,6 +614,27 @@ class TestWinogradConv3x3:
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
+    @pytest.mark.parametrize("b,hw,c,o", [(2, 16, 32, 16), (1, 32, 40, 24)])
+    def test_halfparity_matches_direct_conv(self, b, hw, c, o, monkeypatch):
+        """GMDX_WINOGRAD_HALFPARITY=1: the column-parity deinterleave
+        happens in-kernel via one-hot MXU matmuls instead of the XLA
+        NHWC->parity-5D retile. One-hot selection is exact, so this must
+        match the default path bit-for-bit (opt-in: measured ~equal cost
+        to the retile on TPU, BENCHNOTES.md round 3)."""
+        from gmdx.kernels.winograd import winograd_conv3x3
+
+        monkeypatch.setenv("GMDX_WINOGRAD_M", "2")
+        ks = jax.random.split(jax.random.key(7), 3)
+        x = jax.random.normal(ks[0], (b, hw, hw, c), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 3, c, o)) * 0.1
+        bias = jax.random.normal(ks[2], (o,)) * 0.1
+        with jax.default_matmul_precision("highest"):
+            monkeypatch.setenv("GMDX_WINOGRAD_HALFPARITY", "0")
+            ref = winograd_conv3x3(x, k, bias, interpret=True)
+            monkeypatch.setenv("GMDX_WINOGRAD_HALFPARITY", "1")
+            out = winograd_conv3x3(x, k, bias, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
     def test_parity_io_matches_plain(self, monkeypatch):
         """parity_in / parity_out 5D I/O is the same map as the NHWC call
         (the layouts are pure relabelings — the in-kernel math is shared)."""
