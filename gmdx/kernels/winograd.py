@@ -260,6 +260,7 @@ def _wino_kernel(
     parity_out: bool,
     stream: bool = False,  # x_ref is the FULL HBM array; DMA slabs in
     halfparity: bool = False,  # column parity gathered in-kernel (one-hot MXU)
+    halfparity_out: bool = False,  # column parity scattered in-kernel on store
 ):
     # Grid (ochunk, batch, row-slab), all sequential. The o-chunk axis is
     # OUTERMOST so the weight transform below runs once per chunk (the
@@ -443,7 +444,35 @@ def _wino_kernel(
                     term = m * coef
                     y[p][q] = term if y[p][q] is None else y[p][q] + term
 
-    if parity_out:
+    if halfparity_out:
+        # Half-parity write: the output array is (B, T, 2, W, Oc) — rows
+        # parity-split (free reshape to NHWC for the caller: minor dims
+        # unchanged), columns in raw NHWC order. The column-parity
+        # INTERLEAVE happens here with one one-hot MXU matmul per tile
+        # row (S (2tc, 2tc) scatter: out_w = 2b+q reads the q-stacked
+        # sublane concat of the two phase rows — exact selection). Unlike
+        # the parity-in-lanes write this composes with output CHUNKING
+        # (the chunk slices the O lane dim, untouched here), so it also
+        # replaces the phase-major + XLA depth-to-space path.
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * tc, 2 * tc), 0)
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * tc, 2 * tc), 1)
+        s_sel = (
+            j_iota == (w_iota % 2) * tc + w_iota // 2
+        ).astype(o_ref.dtype)
+        for p in range(2):
+            y0 = (y[p][0] + bias).astype(o_ref.dtype).reshape(trs, tc, o_ch)
+            y1 = (y[p][1] + bias).astype(o_ref.dtype).reshape(trs, tc, o_ch)
+            rows = [
+                jax.lax.dot_general(
+                    s_sel,
+                    jax.lax.concatenate([y0[ty], y1[ty]], 0),  # (2tc, Oc)
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(o_ref.dtype)
+                for ty in range(trs)
+            ]
+            o_ref[0, :, p] = jnp.stack(rows, axis=0)  # (trs, 2tc, Oc)
+    elif parity_out:
         # Parity-in-lanes write: the output array is (B, T, 2, Tc, 2*O),
         # which the caller reshapes to NHWC for FREE — no XLA
         # depth-to-space pass (those passes were ~8% of the dual step).
@@ -819,18 +848,19 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret,
         tp_r = t_rows_p + 1  # parity row count of the (maybe row-padded) img
         tp = (w + 2) // 2
         if not stream and os.environ.get(
-            "GMDX_WINOGRAD_HALFPARITY", "0"
+            "GMDX_WINOGRAD_HALFPARITY", "1"
         ) == "1":
             # Half-parity handoff: split ONLY the row parity — the minor
             # two dims (Wp, C) are untouched, so this reshape is free at
             # the physical-layout level (no XLA retile; the full parity
             # reshape below costs an HBM round trip at ~65% bandwidth).
             # The kernel deinterleaves column parity in-VMEM via one-hot
-            # MXU matmuls (see _wino_kernel). OPT-IN: measured 1.2-3.5%
-            # slower per conv than paying the XLA retile (BENCHNOTES.md
-            # round 3) — the gather's MXU permutation costs ~the same
-            # 10 us/image as the retile's HBM round trip; both sit at the
-            # layout transition's data-movement floor.
+            # MXU matmuls (see _wino_kernel). DEFAULT ON: standalone the
+            # gather ties the XLA retile (both ~10-12 us/image, the
+            # transition's data-movement floor), but IN-MODEL the retiles
+            # run at only 7-10% of HBM bandwidth (~0.5 ms each in the
+            # device trace) and the in+out fold measured +2.2% on the
+            # dual bench (0.8686 -> 0.8873 img/s, BENCHNOTES.md round 3).
             halfparity = True
             xl = xp.reshape(b, tp_r, 2, w + 2, c)
         else:
@@ -851,7 +881,26 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret,
     b2 = bias.reshape(1, o_ch)
 
     parity_out = ochunks == 1
-    if parity_out:
+    # Half-parity write (same env switch as the input side): unless the
+    # caller asked for the parity-5D layout (the resnet chain), emit the
+    # row-parity-split NHWC-column layout — a free reshape to NHWC for
+    # the caller, replacing BOTH the parity5->NHWC retile (unchunked) and
+    # the phase-major XLA depth-to-space (chunked).
+    halfparity_out = (
+        not stream
+        and not parity_out_req
+        and os.environ.get("GMDX_WINOGRAD_HALFPARITY", "1") == "1"
+    )
+    if halfparity_out:
+        out_spec = pl.BlockSpec(
+            (1, trs, 2, w, oc_w),
+            lambda oc, i, s: (i, s, 0, 0, oc),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (b, t_rows_p, 2, w, o_ch), x.dtype
+        )
+    elif parity_out:
         out_spec = pl.BlockSpec(
             (1, trs, 2, tc, 2 * o_ch),
             lambda oc, i, s: (i, s, 0, 0, 0),
@@ -889,6 +938,7 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret,
         functools.partial(
             _wino_kernel, trs=trs, tc=tc, c=c, o_ch=oc_w,
             parity_out=parity_out, stream=stream, halfparity=halfparity,
+            halfparity_out=halfparity_out,
         ),
         grid=(ochunks, b, split),
         in_specs=[
@@ -917,7 +967,11 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret,
         ),
         interpret=interpret,
     )(xl, g2, b2)
-    if parity_out:
+    if halfparity_out:
+        # (B, T, 2, W, O) -> (B, H, W, O): minor dims unchanged — free at
+        # the physical-layout level (the whole point of the mode).
+        out = out.reshape(b, 2 * t_rows_p, w, o_ch)
+    elif parity_out:
         if parity_out_req:
             # Caller consumes the parity layout directly (the parity-GN
             # kernel / a parity_in conv downstream) — skip the reshape and

@@ -635,6 +635,28 @@ class TestWinogradConv3x3:
             out = winograd_conv3x3(x, k, bias, interpret=True)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
+    def test_halfparity_chunked_and_split(self, monkeypatch):
+        """Half-parity I/O under slab split + output chunking (the
+        halfparity OUT write composes with chunked O lanes — that is its
+        advantage over the parity-5D write)."""
+        from gmdx.kernels.winograd import _wino_conv
+
+        ks = jax.random.split(jax.random.key(8), 3)
+        x = jax.random.normal(ks[0], (2, 16, 16, 32), jnp.float32)
+        k = jax.random.normal(ks[1], (3, 3, 32, 32)) * 0.1
+        bias = jax.random.normal(ks[2], (32,)) * 0.1
+        with jax.default_matmul_precision("highest"):
+            monkeypatch.setenv("GMDX_WINOGRAD_HALFPARITY", "0")
+            ref = _wino_conv(x, k, bias, 1, 1, False, True)
+            monkeypatch.setenv("GMDX_WINOGRAD_HALFPARITY", "1")
+            one = _wino_conv(x, k, bias, 1, 1, False, True)
+            chunked = _wino_conv(x, k, bias, 2, 4, False, True)
+        np.testing.assert_array_equal(np.asarray(one), np.asarray(ref))
+        # chunk/slab tilings regroup fp32 sums — tolerance, not equality
+        np.testing.assert_allclose(
+            np.asarray(chunked), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
     def test_parity_io_matches_plain(self, monkeypatch):
         """parity_in / parity_out 5D I/O is the same map as the NHWC call
         (the layouts are pure relabelings — the in-kernel math is shared)."""
