@@ -229,11 +229,52 @@ def _ff_ln_kernel(
     unfused flax LayerNorm ran them in the compute dtype — bf16 — so the
     kernel is strictly more accurate)."""
     xf = x_ref[...].astype(jnp.float32)
+    _ff_ln_body(
+        xf, g_ref, be_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref, w2_ref,
+        b2_ref, o_ref, eps,
+    )
+
+
+def _ff_add_ln_kernel(
+    x_ref,  # VMEM (blk, C) — transformer hidden state (pre-attn2-residual)
+    a_ref,  # VMEM (blk, C) — attn2 output (the pending residual add)
+    g_ref,
+    be_ref,
+    w1h_ref,
+    w1g_ref,
+    b1h_ref,
+    b1g_ref,
+    w2_ref,
+    b2_ref,
+    o_ref,
+    *,
+    eps: float,
+):
+    """:func:`_ff_ln_kernel` with the transformer block's attn2 residual
+    add folded into the prologue: the summed hidden state (norm3's input
+    AND the FF residual) is formed in VMEM and never touches HBM — the
+    standalone XLA add pass (plus the layout copy it grew next to the
+    attention custom calls, ~0.13 ms/step each in the round-3 trace)
+    disappears. The sum is rounded to the compute dtype first, matching
+    the unfused `x + attn2` bit-for-bit."""
+    s = (
+        x_ref[...].astype(jnp.float32) + a_ref[...].astype(jnp.float32)
+    ).astype(x_ref.dtype)
+    _ff_ln_body(
+        s.astype(jnp.float32), g_ref, be_ref, w1h_ref, w1g_ref, b1h_ref,
+        b1g_ref, w2_ref, b2_ref, o_ref, eps,
+    )
+
+
+def _ff_ln_body(
+    xf, g_ref, be_ref, w1h_ref, w1g_ref, b1h_ref, b1g_ref, w2_ref, b2_ref,
+    o_ref, eps,
+):
     mean = jnp.mean(xf, axis=1, keepdims=True)
     c = xf - mean
     var = jnp.mean(c * c, axis=1, keepdims=True)
     y = c * jax.lax.rsqrt(var + eps) * g_ref[...] + be_ref[...]
-    y = y.astype(x_ref.dtype)
+    y = y.astype(o_ref.dtype)
     hidden = (
         jax.lax.dot_general(
             y, w1h_ref[...],
@@ -279,13 +320,15 @@ def _ff_ln_reference(x, gamma, beta, w1, b1, w2, b2, eps):
     )
 
 
-def _ff_ln_pallas(x, gamma, beta, w1, b1, w2, b2, eps, interpret):
+def _ff_ln_pallas(x, gamma, beta, w1, b1, w2, b2, eps, interpret, a=None):
     n, c = x.shape
     inner = w2.shape[0]
     blk = _TOKEN_BLOCK[c]
     n_pad = (n + blk - 1) // blk * blk
     if n_pad != n:
         x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+        if a is not None:
+            a = jnp.pad(a, ((0, n_pad - n), (0, 0)))
 
     dtype = x.dtype
     w1h = w1[:, :inner].astype(dtype)
@@ -299,11 +342,13 @@ def _ff_ln_pallas(x, gamma, beta, w1, b1, w2, b2, eps, interpret):
 
     tok_spec = pl.BlockSpec((blk, c), lambda i: (i, 0))
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
+    kern = _ff_ln_kernel if a is None else _ff_add_ln_kernel
+    operands = (x,) if a is None else (x, a)
     out = pl.pallas_call(
-        functools.partial(_ff_ln_kernel, eps=eps),
+        functools.partial(kern, eps=eps),
         grid=(n_pad // blk,),
-        in_specs=[
-            tok_spec,
+        in_specs=[tok_spec] * len(operands)
+        + [
             const((1, c)),
             const((1, c)),
             const((c, inner)),
@@ -316,7 +361,7 @@ def _ff_ln_pallas(x, gamma, beta, w1, b1, w2, b2, eps, interpret):
         out_specs=tok_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, c), dtype),
         interpret=interpret,
-    )(x, g32, be32, w1h, w1g, b1h, b1g, w2c, b2c)
+    )(*operands, g32, be32, w1h, w1g, b1h, b1g, w2c, b2c)
     return out[:n] if n_pad != n else out
 
 
@@ -349,6 +394,41 @@ def _ff_ln_bwd(eps, interpret, res, g):
 _ff_ln_fused.defvjp(_ff_ln_fwd, _ff_ln_bwd)
 
 
+def _ff_add_ln_reference(x, a, gamma, beta, w1, b1, w2, b2, eps):
+    s = (x.astype(jnp.float32) + a.astype(jnp.float32)).astype(x.dtype)
+    return _ff_ln_reference(s, gamma, beta, w1, b1, w2, b2, eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _ff_add_ln_fused(x, a, gamma, beta, w1, b1, w2, b2, eps, interpret=False):
+    b, s, c = x.shape
+    out = _ff_ln_pallas(
+        x.reshape(b * s, c), gamma, beta, w1, b1, w2, b2, eps, interpret,
+        a=a.reshape(b * s, c),
+    )
+    return out.reshape(b, s, c)
+
+
+def _ff_add_ln_fwd(x, a, gamma, beta, w1, b1, w2, b2, eps, interpret):
+    return _ff_add_ln_fused(
+        x, a, gamma, beta, w1, b1, w2, b2, eps, interpret
+    ), (x, a, gamma, beta, w1, b1, w2, b2)
+
+
+def _ff_add_ln_bwd(eps, interpret, res, g):
+    x, a, gamma, beta, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda x_, a_, g_, be_, w1_, b1_, w2_, b2_: _ff_add_ln_reference(
+            x_, a_, g_, be_, w1_, b1_, w2_, b2_, eps
+        ),
+        x, a, gamma, beta, w1, b1, w2, b2,
+    )
+    return vjp(g)
+
+
+_ff_add_ln_fused.defvjp(_ff_add_ln_fwd, _ff_add_ln_bwd)
+
+
 def geglu_ff_ln(
     x: Array,
     gamma: Array,
@@ -358,6 +438,7 @@ def geglu_ff_ln(
     w2: Array,
     b2: Array,
     *,
+    add: Array | None = None,
     eps: float = 1e-5,
     interpret: bool = False,
 ) -> Array:
@@ -365,8 +446,12 @@ def geglu_ff_ln(
 
     The fully fused transformer-FF tail: LN, both matmuls, the GEGLU
     product, and the residual add in one VMEM pass — x is read once (it is
-    its own residual). Same dispatch rules as :func:`geglu_ff`;
-    ``GMDX_FUSED_FF=0`` disables the kernel globally."""
+    its own residual). ``add`` folds a pending residual into the prologue
+    (x := x + add, rounded to the compute dtype — bit-identical to summing
+    outside): the transformer block passes attn2's output here so the
+    post-attention hidden state never materializes in HBM. Same dispatch
+    rules as :func:`geglu_ff`; ``GMDX_FUSED_FF=0`` disables the kernel
+    globally."""
     c = x.shape[-1]
     use_pallas = (
         os.environ.get("GMDX_FUSED_FF", "1") == "1"
@@ -374,9 +459,138 @@ def geglu_ff_ln(
         and w1.shape[1] % 256 == 0
         and (interpret or jax.default_backend() == "tpu")
     )
+    if add is None:
+        if use_pallas:
+            return _ff_ln_fused(
+                x, gamma, beta, w1, b1, w2, b2, eps, interpret
+            )
+        return _ff_ln_reference(x, gamma, beta, w1, b1, w2, b2, eps)
     if use_pallas:
-        return _ff_ln_fused(x, gamma, beta, w1, b1, w2, b2, eps, interpret)
-    return _ff_ln_reference(x, gamma, beta, w1, b1, w2, b2, eps)
+        return _ff_add_ln_fused(
+            x, add, gamma, beta, w1, b1, w2, b2, eps, interpret
+        )
+    return _ff_add_ln_reference(x, add, gamma, beta, w1, b1, w2, b2, eps)
+
+
+# dim -> token block for the standalone add+LN kernel: no resident
+# weights, so blocks are bounded only by the fp32 intermediates
+# (~3 passes of blk*C*4 bytes).
+_ADDLN_BLOCK = {320: 1024, 640: 512, 1280: 256}
+
+
+def _add_ln_kernel(
+    x_ref,  # VMEM (blk, C) — residual stream
+    y_ref,  # VMEM (blk, C) — pending residual add (attn1 output)
+    g_ref,  # VMEM (1, C) LayerNorm scale
+    be_ref,  # VMEM (1, C) LayerNorm bias
+    s_ref,  # VMEM (blk, C) out: x + y (the next residual stream)
+    h_ref,  # VMEM (blk, C) out: LayerNorm(x + y)
+    *,
+    eps: float,
+):
+    """Fused residual-add + LayerNorm (norm2 in the transformer block).
+
+    XLA keeps the add and the LN as two fusions with the sum round-tripping
+    HBM between them (plus a layout copy next to the attention custom
+    call); here the sum is formed once in VMEM and both results stream
+    out. The sum is rounded to the compute dtype before the statistics —
+    bit-identical to the unfused `LN(x + y)`, except the stats themselves
+    run in fp32 (the flax LayerNorm ran them in bf16; same upgrade the
+    norm3 fold made)."""
+    s16 = (
+        x_ref[...].astype(jnp.float32) + y_ref[...].astype(jnp.float32)
+    ).astype(s_ref.dtype)
+    s_ref[...] = s16
+    sf = s16.astype(jnp.float32)
+    mean = jnp.mean(sf, axis=1, keepdims=True)
+    c = sf - mean
+    var = jnp.mean(c * c, axis=1, keepdims=True)
+    h = c * jax.lax.rsqrt(var + eps) * g_ref[...] + be_ref[...]
+    h_ref[...] = h.astype(h_ref.dtype)
+
+
+def _add_ln_reference(x, y, gamma, beta, eps):
+    s = (x.astype(jnp.float32) + y.astype(jnp.float32)).astype(x.dtype)
+    return s, _ln_f32(s, gamma, beta, eps)
+
+
+def _add_ln_pallas(x, y, gamma, beta, eps, interpret):
+    n, c = x.shape
+    blk = min(_ADDLN_BLOCK[c], (n + 127) // 128 * 128)
+    n_pad = (n + blk - 1) // blk * blk
+    xp, yp = x, y
+    if n_pad != n:
+        xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+        yp = jnp.pad(y, ((0, n_pad - n), (0, 0)))
+    g32 = gamma.astype(jnp.float32).reshape(1, c)
+    be32 = beta.astype(jnp.float32).reshape(1, c)
+    tok_spec = pl.BlockSpec((blk, c), lambda i: (i, 0))
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))  # noqa: E731
+    s, h = pl.pallas_call(
+        functools.partial(_add_ln_kernel, eps=eps),
+        grid=(n_pad // blk,),
+        in_specs=[tok_spec, tok_spec, const((1, c)), const((1, c))],
+        out_specs=[tok_spec, tok_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, c), x.dtype),
+            jax.ShapeDtypeStruct((n_pad, c), x.dtype),
+        ],
+        interpret=interpret,
+    )(xp, yp, g32, be32)
+    if n_pad != n:
+        s, h = s[:n], h[:n]
+    return s, h
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _add_ln_fused(x, y, gamma, beta, eps, interpret=False):
+    b, sq, c = x.shape
+    s, h = _add_ln_pallas(
+        x.reshape(b * sq, c), y.reshape(b * sq, c), gamma, beta, eps,
+        interpret,
+    )
+    return s.reshape(b, sq, c), h.reshape(b, sq, c)
+
+
+def _add_ln_fwd(x, y, gamma, beta, eps, interpret):
+    return _add_ln_fused(x, y, gamma, beta, eps, interpret), (
+        x, y, gamma, beta,
+    )
+
+
+def _add_ln_bwd(eps, interpret, res, g):
+    x, y, gamma, beta = res
+    _, vjp = jax.vjp(
+        lambda x_, y_, g_, b_: _add_ln_reference(x_, y_, g_, b_, eps),
+        x, y, gamma, beta,
+    )
+    return vjp(g)
+
+
+_add_ln_fused.defvjp(_add_ln_fwd, _add_ln_bwd)
+
+
+def add_layer_norm(
+    x: Array,
+    y: Array,
+    gamma: Array,
+    beta: Array,
+    *,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """(x + y, LayerNorm(x + y)) over (B, S, C) — the attn1-residual /
+    norm2 pair of the transformer block, one VMEM pass. Falls back to the
+    jnp mirror off-TPU or at dims without a block entry."""
+    c = x.shape[-1]
+    use_pallas = (
+        os.environ.get("GMDX_FUSED_FF", "1") == "1"
+        and c in _ADDLN_BLOCK
+        and (interpret or jax.default_backend() == "tpu")
+    )
+    if use_pallas:
+        return _add_ln_fused(x, y, gamma, beta, eps, interpret)
+    return _add_ln_reference(x, y, gamma, beta, eps)
 
 
 def geglu_ff(

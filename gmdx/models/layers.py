@@ -287,6 +287,7 @@ class GEGLUFeedForward(nn.Module):
         self,
         x: Array,
         residual: Optional[Array] = None,
+        add: Optional[Array] = None,
         ln_scale: Optional[Array] = None,
         ln_bias: Optional[Array] = None,
         ln_eps: float = 1e-5,
@@ -306,6 +307,7 @@ class GEGLUFeedForward(nn.Module):
                 b1.astype(self.dtype),
                 w2.astype(self.dtype),
                 b2.astype(self.dtype),
+                add=add,
                 eps=ln_eps,
             )
 
@@ -354,12 +356,29 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
+        from gmdx.kernels.geglu_ff import add_layer_norm
+
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(
+        a1 = Attention(
             self.dim, self.heads, self.head_dim, dtype=self.dtype, name="attn1"
         )(h)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        x = x + Attention(
+        # attn1-residual + norm2 fused add+LN kernel: measured -3.1% on
+        # the dual bench (0.8934 -> 0.8661) — a NEW custom-call boundary
+        # at a thin glue point grows layout copies on all four operand/
+        # result edges that outweigh the fused arithmetic. Opt-in via
+        # GMDX_FUSED_ADDLN=1; default keeps XLA's add/LN fusions. (The
+        # attn2-side fold below is different: it adds an operand to an
+        # EXISTING kernel — measured neutral, kept for the removed
+        # materialization.)
+        import os as _os
+
+        if _os.environ.get("GMDX_FUSED_ADDLN", "0") == "1":
+            ln2_scale, ln2_bias = _LNScaleBias(self.dim, name="norm2")()
+            x, h = add_layer_norm(x, a1, ln2_scale, ln2_bias, eps=1e-5)
+        else:
+            x = x + a1
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        a2 = Attention(
             self.dim,
             self.heads,
             self.head_dim,
@@ -368,8 +387,10 @@ class BasicTransformerBlock(nn.Module):
             name="attn2",
         )(h, context)
         ln_scale, ln_bias = _LNScaleBias(self.dim, name="norm3")()
+        # attn2's residual folds into the FF kernel prologue (add=a2):
+        # the post-attention hidden state never materializes in HBM.
         return GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(
-            x, ln_scale=ln_scale, ln_bias=ln_bias, ln_eps=1e-5
+            x, add=a2, ln_scale=ln_scale, ln_bias=ln_bias, ln_eps=1e-5
         )
 
 

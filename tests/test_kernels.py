@@ -478,6 +478,41 @@ class TestFusedLNGEGLUFF:
                 err_msg=name,
             )
 
+    def test_add_fold_matches_outside_add(self):
+        """geglu_ff_ln(x, add=a) == geglu_ff_ln(x + a): the prologue fold
+        rounds the sum to the compute dtype, so bit parity is exact."""
+        from gmdx.kernels.geglu_ff import _ff_add_ln_fused, _ff_ln_fused
+
+        args = self._make(jax.random.key(5), 300, 320, dtype=jnp.bfloat16)
+        x = args[0]
+        a = jax.random.normal(jax.random.key(6), x.shape, x.dtype)
+        out = _ff_add_ln_fused(x, a, *args[1:], 1e-5, interpret=True)
+        ref = _ff_ln_fused((x + a).astype(x.dtype), *args[1:], 1e-5,
+                           interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_add_fold_grads_match_reference(self):
+        from gmdx.kernels.geglu_ff import (
+            _ff_add_ln_fused,
+            _ff_add_ln_reference,
+        )
+
+        args = self._make(jax.random.key(7), 128, 320)
+        x = args[0]
+        a = jax.random.normal(jax.random.key(8), x.shape, x.dtype)
+        g = jax.random.normal(jax.random.key(9), x.shape)
+        _, vjp_p = jax.vjp(
+            lambda *z: _ff_add_ln_fused(*z, 1e-5, interpret=True),
+            x, a, *args[1:],
+        )
+        _, vjp_r = jax.vjp(
+            lambda *z: _ff_add_ln_reference(*z, 1e-5), x, a, *args[1:]
+        )
+        for got, want in zip(vjp_p(g), vjp_r(g)):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+            )
+
     def test_residual_is_prenorm_input(self):
         """Zero FF weights: output must equal x exactly (x is the residual)."""
         from gmdx.kernels.geglu_ff import geglu_ff_ln
@@ -507,6 +542,49 @@ class TestFusedLNGEGLUFF:
         b2 = jnp.zeros((c,))
         out = geglu_ff_ln(x, gamma, beta, w1, b1, w2, b2)
         assert out.shape == x.shape
+
+
+class TestAddLayerNorm:
+    """Fused residual-add + LayerNorm (norm2 glue) vs the jnp mirror."""
+
+    @pytest.mark.parametrize("n,c", [(300, 320), (128, 640), (64, 1280)])
+    def test_matches_reference(self, n, c):
+        from gmdx.kernels.geglu_ff import _add_ln_fused, _add_ln_reference
+
+        ks = jax.random.split(jax.random.key(0), 4)
+        x = jax.random.normal(ks[0], (2, n, c), jnp.bfloat16)
+        y = jax.random.normal(ks[1], (2, n, c), jnp.bfloat16)
+        gamma = 1.0 + 0.1 * jax.random.normal(ks[2], (c,))
+        beta = 0.1 * jax.random.normal(ks[3], (c,))
+        s, h = _add_ln_fused(x, y, gamma, beta, 1e-5, interpret=True)
+        s_r, h_r = _add_ln_reference(x, y, gamma, beta, 1e-5)
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(s_r))
+        np.testing.assert_allclose(
+            np.asarray(h, np.float32), np.asarray(h_r, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+    def test_grads_match_reference(self):
+        from gmdx.kernels.geglu_ff import _add_ln_fused, _add_ln_reference
+
+        ks = jax.random.split(jax.random.key(1), 6)
+        x = jax.random.normal(ks[0], (1, 128, 320))
+        y = jax.random.normal(ks[1], (1, 128, 320))
+        gamma = 1.0 + 0.1 * jax.random.normal(ks[2], (320,))
+        beta = 0.1 * jax.random.normal(ks[3], (320,))
+        gs = jax.random.normal(ks[4], x.shape)
+        gh = jax.random.normal(ks[5], x.shape)
+        _, vjp_p = jax.vjp(
+            lambda *z: _add_ln_fused(*z, 1e-5, interpret=True),
+            x, y, gamma, beta,
+        )
+        _, vjp_r = jax.vjp(
+            lambda *z: _add_ln_reference(*z, 1e-5), x, y, gamma, beta
+        )
+        for got, want in zip(vjp_p((gs, gh)), vjp_r((gs, gh))):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+            )
 
 
 class TestWinogradConv3x3:
