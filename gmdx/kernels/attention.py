@@ -99,6 +99,22 @@ def attention_packed(
         or os.environ.get("GMDX_PACKED_ATTN", "1") != "1"
         or jax.default_backend() != "tpu"
     )
+    # KV-resident exact-softmax kernel first: at the UNet self-attention
+    # shapes (<=4096 keys) the whole K/V fits VMEM, and dropping flash's
+    # online-softmax machinery recovers part of the d_head=40 shape-cap
+    # gap (BENCHNOTES.md round 3). GMDX_ATTN_KVRES=0 reverts to flash.
+    if (
+        not no_pallas
+        and os.environ.get("GMDX_ATTN_KVRES", "1") == "1"
+        and k.shape[1] >= 256
+        and k.shape[1] <= 4096
+        and d <= 160
+    ):
+        from gmdx.kernels.flash_attention import attention_kv_resident
+
+        out = attention_kv_resident(q, k, v, heads, scale=scale)
+        if out is not None:
+            return out
     if not no_pallas and k.shape[1] >= 1024 and d <= 160:
         from gmdx.kernels.flash_attention import flash_attention_bsc
 

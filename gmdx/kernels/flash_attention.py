@@ -701,6 +701,184 @@ def flash_attention_bsc(
     return _flash_bsc(q, k, v, heads, scale, interpret)
 
 
+def _kvres_kernel(
+    q_ref,  # VMEM (1, blk_q, C)
+    k_ref,  # VMEM (1, skp, C) — whole (padded) key range, resident
+    v_ref,  # VMEM (1, skp, C)
+    o_ref,  # VMEM (1, blk_q, C)
+    *,
+    heads: int,
+    head_dim: int,
+    qscale: float,
+    sk: int,
+):
+    """KV-resident exact-softmax attention (head-packed layout).
+
+    At the UNet's self-attention shapes the whole K/V fits VMEM (<=10.5 MB
+    at 4096x320), so flash attention's ONLINE softmax — the running
+    max/sum scratch, the correction multiplies, the (H, blk_q, 128)
+    broadcast writes, all paid per k-block per head — is pure overhead:
+    with one resident k-range the row softmax is exact in one pass.
+    Fewer VPU ops per logit also matters because at d_head=40 the kernel
+    is shape-capped on the MXU (K=40 of 128 lanes, ~31% ceiling) and the
+    measured flash kernel ran ~25% (7 ms vs 5.6 structural per CFG
+    invocation, BENCHNOTES.md round-2 end note): the serialized softmax
+    between the two matmuls is the gap. The per-head score buffer is a
+    VMEM value (blk_q x skp fp32), never HBM."""
+    q = (q_ref[0].astype(jnp.float32) * qscale).astype(q_ref.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
+    skp = k.shape[0]
+    col = None
+    if skp != sk:  # static shapes under jit — no scalar prefetch needed
+        col = jax.lax.broadcasted_iota(jnp.int32, (q.shape[0], skp), 1)
+    d = head_dim
+    outs = []
+    for h in range(heads):
+        qh = jax.lax.slice_in_dim(q, h * d, (h + 1) * d, axis=1)
+        kh = jax.lax.slice_in_dim(k, h * d, (h + 1) * d, axis=1)
+        s = jax.lax.dot_general(
+            qh,
+            kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (blk_q, skp) fp32
+        if col is not None:
+            s = jnp.where(col < sk, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype),
+            jax.lax.slice_in_dim(v, h * d, (h + 1) * d, axis=1),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append((o / l).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+def _kvres_pick_blkq(sq: int, sk_p: int, c: int, heads: int,
+                     itemsize: int) -> int:
+    """Largest q-block whose live set fits the VMEM budget. Mosaic's
+    greedy scheduler keeps the python-unrolled heads' score buffers live
+    together (cf. the bsc kernel note), so budget all H of them:
+    k + v resident + H * blk_q * skp * (4 fp32 + itemsize bf16 p)."""
+    want = _env_block("GMDX_ATTN_KVRES_BLKQ", 512)
+    kv = 2 * sk_p * c * itemsize
+    for blk in (512, 256, 128):
+        if blk > want:
+            continue
+        live = kv + heads * blk * sk_p * (4 + itemsize)
+        if live <= 80 * 1024 * 1024:
+            return min(blk, _round_up(sq, 128))
+    return 0
+
+
+def _kvres_forward(q, k, v, heads, scale, interpret=False):
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    d = c // heads
+    dtype = q.dtype
+    sk_p = _round_up(sk, 128)
+    blk_q = _kvres_pick_blkq(sq, sk_p, c, heads, dtype.itemsize)
+    if blk_q == 0:
+        return None
+    sq_p = _round_up(sq, blk_q)
+    qp = q
+    if sq_p != sq:
+        qp = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, 0)))
+    kp, vp = k, v
+    if sk_p != sk:
+        kp = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
+
+    grid = (b, sq_p // blk_q)
+    (out,) = pl.pallas_call(
+        functools.partial(
+            _kvres_kernel, heads=heads, head_dim=d,
+            qscale=scale * _LOG2_E, sk=sk,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk_q, c), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, sk_p, c), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, sk_p, c), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, blk_q, c), lambda b, i: (b, i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((b, sq_p, c), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * sq_p * sk_p * d,
+            bytes_accessed=2 * b * (sq_p + 2 * sk_p) * c * dtype.itemsize,
+            transcendentals=b * heads * sq_p * sk_p,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :sq] if sq_p != sq else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attn_kvres(q, k, v, heads, scale, interpret=False):
+    return _kvres_forward(q, k, v, heads, scale, interpret)
+
+
+def _attn_kvres_vjp_fwd(q, k, v, heads, scale, interpret):
+    # Differentiated path: the flattened flash forward (emits the LSE the
+    # backward kernels need) — training numerics/cost identical to
+    # flash_attention_bsc's.
+    out4, res = _flash_fwd(
+        _bsc_to_bshd(q, heads), _bsc_to_bshd(k, heads),
+        _bsc_to_bshd(v, heads), scale, interpret,
+    )
+    b, s, _, _ = out4.shape
+    return out4.reshape(b, s, -1), res
+
+
+def _attn_kvres_vjp_bwd(heads, scale, interpret, res, g):
+    dq4, dk4, dv4 = _flash_bwd(scale, interpret, res, _bsc_to_bshd(g, heads))
+    return tuple(
+        x.reshape(x.shape[0], x.shape[1], -1) for x in (dq4, dk4, dv4)
+    )
+
+
+_attn_kvres.defvjp(_attn_kvres_vjp_fwd, _attn_kvres_vjp_bwd)
+
+
+def attention_kv_resident(
+    q: Array,
+    k: Array,
+    v: Array,
+    heads: int,
+    *,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> Array | None:
+    """Exact-softmax attention with the whole K/V range VMEM-resident,
+    over head-packed (B, S, H*D) operands. Returns None when the shape
+    does not fit the budget (dispatcher falls back to flash)."""
+    if q.ndim != 3 or k.ndim != 3 or v.ndim != 3:
+        return None
+    if q.shape[-1] % heads or k.shape[-1] != q.shape[-1]:
+        return None
+    d = q.shape[-1] // heads
+    if d % 8:
+        return None
+    if jax.default_backend() != "tpu" and not interpret:
+        return None
+    if _kvres_pick_blkq(
+        q.shape[1], _round_up(k.shape[1], 128), q.shape[-1], heads,
+        q.dtype.itemsize,
+    ) == 0:
+        return None  # budget miss — checked HERE so the vjp fn never fails
+    if scale is None:
+        scale = d**-0.5
+    return _attn_kvres(q, k, v, heads, scale, interpret)
+
+
 def _xattn_kernel(
     q_ref,  # VMEM (1, blk_q, C)
     k_ref,  # VMEM (1, skp, C) — whole (padded) key range, resident

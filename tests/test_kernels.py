@@ -54,6 +54,55 @@ class TestFlashAttention:
         assert float(jnp.abs(g).max()) > 0
 
 
+class TestAttentionKVResident:
+    """Exact-softmax KV-resident kernel vs the XLA reference."""
+
+    @pytest.mark.parametrize(
+        "sq,sk,h,d",
+        [(256, 256, 4, 40), (300, 300, 2, 40), (128, 77, 2, 40)],
+    )
+    def test_matches_xla(self, sq, sk, h, d):
+        from gmdx.kernels.flash_attention import attention_kv_resident
+
+        ks = jax.random.split(jax.random.key(0), 3)
+        q = jax.random.normal(ks[0], (2, sq, h * d))
+        k = jax.random.normal(ks[1], (2, sk, h * d))
+        v = jax.random.normal(ks[2], (2, sk, h * d))
+        out = attention_kv_resident(q, k, v, h, interpret=True)
+        ref = _xla_attention(
+            q.reshape(2, sq, h, d), k.reshape(2, sk, h, d),
+            v.reshape(2, sk, h, d), d**-0.5,
+        ).reshape(2, sq, h * d)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+
+    def test_grads_route_through_flash(self):
+        """Differentiation must work (flattened flash fwd/bwd) and match
+        XLA autodiff."""
+        from gmdx.kernels.flash_attention import attention_kv_resident
+
+        q = jax.random.normal(jax.random.key(1), (1, 128, 80))
+
+        def loss_kvres(q):
+            return jnp.sum(
+                attention_kv_resident(q, q, q, 2, interpret=True) ** 2
+            )
+
+        def loss_ref(q):
+            q4 = q.reshape(1, 128, 2, 40)
+            return jnp.sum(
+                _xla_attention(q4, q4, q4, 40**-0.5).reshape(1, 128, 80)
+                ** 2
+            )
+
+        g = jax.grad(loss_kvres)(q)
+        gr = jax.grad(loss_ref)(q)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(gr), rtol=2e-3, atol=2e-3
+        )
+
+
 class TestFlashAttentionBackward:
     """Pallas backward kernels (dQ / dK / dV) vs XLA autodiff grads."""
 
