@@ -10,6 +10,7 @@ from gmdx.dist.multihost import (
 )
 from gmdx.dist.mesh import (
     make_mesh,
+    make_train_mesh,
     zero1_shard,
     fsdp_shard,
     apply_shard_strategy,
@@ -19,6 +20,11 @@ from gmdx.dist.mesh import (
     replicate,
     local_device_count,
 )
+from gmdx.dist.tp import (
+    tp_param_specs,
+    tp_shard_params,
+    tp_spec_for_path,
+)
 
 __all__ = [
     "initialize",
@@ -27,6 +33,7 @@ __all__ = [
     "main_process_first",
     "broadcast_from_main",
     "make_mesh",
+    "make_train_mesh",
     "zero1_shard",
     "fsdp_shard",
     "apply_shard_strategy",
@@ -35,4 +42,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "local_device_count",
+    "tp_param_specs",
+    "tp_shard_params",
+    "tp_spec_for_path",
 ]

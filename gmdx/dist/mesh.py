@@ -46,6 +46,24 @@ def make_mesh(
     return Mesh(dev_array, tuple(axis_names))
 
 
+def make_train_mesh(strategy: str = "ddp", tp_size: int = 2) -> Mesh:
+    """Mesh for a trainer's ``--shard_strategy``: a 1-D ``data`` mesh for
+    ddp/zero1/fsdp, a 2-D ``data``×``model`` mesh for tp (``tp_size`` chips
+    per model-shard group; the inner axis so TP collectives ride the
+    fastest ICI hops)."""
+    if strategy == "tp":
+        n = len(jax.devices())
+        if tp_size < 2 or n % tp_size:
+            raise ValueError(
+                f"--shard_strategy tp needs tp_size >= 2 dividing the device "
+                f"count ({n}); got tp_size={tp_size}"
+            )
+        return make_mesh(
+            None, ("data", "model"), shape=(n // tp_size, tp_size)
+        )
+    return make_mesh()
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(axis))
@@ -131,8 +149,11 @@ def apply_shard_strategy(
     """Place a train-state dataclass on the mesh per ``--shard_strategy``.
 
     ddp: everything replicated. zero1: ``opt_fields`` split over the data
-    axis. fsdp: ``param_fields`` AND ``opt_fields`` split. Remaining fields
-    (and None-valued ones) are replicated. Each field is placed straight
+    axis. fsdp: ``param_fields`` AND ``opt_fields`` split. tp: params AND
+    optimizer/EMA trees tensor-parallel over the mesh's ``model`` axis
+    (gmdx.dist.tp rules; requires a 2-D data×model mesh — combine with the
+    batch sharded over ``data`` for DP×TP). Remaining fields (and
+    None-valued ones) are replicated. Each field is placed straight
     from host — replicating the whole state first would allocate exactly
     the copies zero1/fsdp exist to avoid.
     """
@@ -140,6 +161,20 @@ def apply_shard_strategy(
 
     if strategy == "ddp":
         return replicate(mesh, state)
+    if strategy == "tp":
+        from gmdx.dist.tp import tp_shard_params
+
+        sharded = set(opt_fields) | set(param_fields)
+        updates = {}
+        for f in _dc.fields(state):
+            v = getattr(state, f.name)
+            if v is None:
+                continue
+            if f.name in sharded:
+                updates[f.name] = tp_shard_params(mesh, v, axis="model")
+            else:
+                updates[f.name] = replicate(mesh, v)
+        return _dc.replace(state, **updates)
     if strategy not in ("zero1", "fsdp"):
         raise ValueError(f"unknown shard strategy {strategy!r}")
     sharded = set(opt_fields)
@@ -159,6 +194,7 @@ def apply_shard_strategy(
 
 __all__ = [
     "make_mesh",
+    "make_train_mesh",
     "zero1_shard",
     "fsdp_shard",
     "apply_shard_strategy",

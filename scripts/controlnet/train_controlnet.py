@@ -53,7 +53,9 @@ def parse_args():
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--mixed_precision", type=str, default=None,
                    choices=[None, "no", "fp16", "bf16"])
-    p.add_argument("--shard_strategy", choices=["ddp", "zero1", "fsdp"],
+    p.add_argument("--tp_size", type=int, default=2,
+                   help="model-axis size for --shard_strategy tp")
+    p.add_argument("--shard_strategy", choices=["ddp", "zero1", "fsdp", "tp"],
                    default="ddp")
     p.add_argument("--logging_dir", type=str, default="logs")
     p.add_argument("--report_to", type=str, default="tensorboard")
@@ -151,8 +153,10 @@ def main():
         "text_encoder": bundle["params"]["text_encoder"],
     }
 
-    mesh = make_mesh()
-    n_dev = mesh.devices.size
+    from gmdx.dist import make_train_mesh
+
+    mesh = make_train_mesh(args.shard_strategy, args.tp_size)
+    n_dev = mesh.shape["data"]
     cfg = ControlNetTrainConfig(
         learning_rate=args.learning_rate,
         lr_scheduler=args.lr_scheduler,

@@ -69,12 +69,15 @@ def parse_args():
     p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument(
         "--shard_strategy",
-        choices=["ddp", "zero1", "fsdp"],
+        choices=["ddp", "zero1", "fsdp", "tp"],
         default="ddp",
         help="ddp: replicated (reference DDP equivalent); zero1: both "
         "optimizer states sharded over the data axis; fsdp: generator "
-        "trainables + discriminator params + optimizer states sharded.",
+        "trainables + discriminator params + optimizer states sharded; "
+        "tp: tensor parallelism over a data×model mesh (gmdx.dist.tp).",
     )
+    p.add_argument("--tp_size", type=int, default=2,
+                   help="model-axis size for --shard_strategy tp")
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--discr_learning_rate", type=float, default=1e-4)
     p.add_argument("--scale_lr", action="store_true")
@@ -279,8 +282,10 @@ def main():
             "vgg19 ImageNet weights via --perceptual_ckpt."
         )
 
-    mesh = make_mesh()
-    n_dev = mesh.devices.size
+    from gmdx.dist import make_train_mesh
+
+    mesh = make_train_mesh(args.shard_strategy, args.tp_size)
+    n_dev = mesh.shape["data"]
     lr, dlr = args.learning_rate, args.discr_learning_rate
     if args.scale_lr:
         scale = args.gradient_accumulation_steps * args.train_batch_size * n_dev

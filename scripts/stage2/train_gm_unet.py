@@ -59,11 +59,18 @@ def parse_args():
     p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument(
         "--shard_strategy",
-        choices=["ddp", "zero1", "fsdp"],
+        choices=["ddp", "zero1", "fsdp", "tp"],
         default="ddp",
         help="ddp: replicated params+opt (reference DDP equivalent); "
         "zero1: optimizer state sharded over the data axis; fsdp: params "
-        "AND optimizer state sharded (ZeRO-3), weights all-gathered at use.",
+        "AND optimizer state sharded (ZeRO-3), weights all-gathered at use; "
+        "tp: Megatron-style tensor parallelism over a data×model mesh "
+        "(gmdx.dist.tp — new capability, no reference equivalent).",
+    )
+    p.add_argument(
+        "--tp_size", type=int, default=2,
+        help="model-axis size for --shard_strategy tp (must divide the "
+        "device count; SD-1.5 head count limits useful values to 2/4/8).",
     )
     p.add_argument(
         "--cache_latents",
@@ -321,8 +328,12 @@ def main():
     }
 
     lr = args.learning_rate
-    mesh = make_mesh()
-    n_dev = mesh.devices.size
+    from gmdx.dist import make_train_mesh
+
+    mesh = make_train_mesh(args.shard_strategy, args.tp_size)
+    # batch scaling follows the DATA axis: under tp each model-shard group
+    # of tp_size chips processes one per-device batch jointly.
+    n_dev = mesh.shape["data"]
     if args.scale_lr:
         lr = lr * args.gradient_accumulation_steps * args.train_batch_size * n_dev
 

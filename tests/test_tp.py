@@ -1,0 +1,130 @@
+"""Tensor-parallel sharding (gmdx/dist/tp.py) on the spoofed CPU mesh.
+
+The reference has no tensor parallelism (SURVEY.md §2.3 — DDP only); TP is
+new TPU-native capability: Megatron-style PartitionSpecs over a ``model``
+mesh axis, GSPMD placing the collectives. These tests pin (a) the spec
+rules, (b) that a TP-sharded UNet forward is numerically the replicated
+forward, over a 2-D data×model mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from gmdx.dist import make_mesh, tp_param_specs, tp_shard_params
+from gmdx.dist.tp import tp_spec_for_path
+
+M = "model"
+
+
+class TestSpecRules:
+    def test_attention_projections(self):
+        # column-parallel qkv (out dim), row-parallel to_out (in dim)
+        p = ("down_blocks_0", "attentions_0", "blocks_0", "attn1")
+        assert tp_spec_for_path(p + ("to_q", "kernel"), (320, 320), 2) == \
+            P(None, M)
+        assert tp_spec_for_path(p + ("to_k", "kernel"), (768, 320), 2) == \
+            P(None, M)
+        assert tp_spec_for_path(p + ("to_out", "kernel"), (320, 320), 2) == \
+            P(M, None)
+        # row-parallel bias adds after the psum -> replicated
+        assert tp_spec_for_path(p + ("to_out", "bias"), (320,), 2) == P()
+
+    def test_geglu_ff(self):
+        p = ("up_blocks_1", "attentions_2", "blocks_0", "ff")
+        assert tp_spec_for_path(p + ("proj_in", "kernel"), (320, 2560), 2) \
+            == P(None, M)
+        assert tp_spec_for_path(p + ("proj_in", "bias"), (2560,), 2) == P(M)
+        assert tp_spec_for_path(p + ("proj_out", "kernel"), (1280, 320), 2) \
+            == P(M, None)
+
+    def test_resnet_conv_pair(self):
+        p = ("down_blocks_0", "resnets_0")
+        assert tp_spec_for_path(
+            p + ("conv1", "kernel"), (3, 3, 320, 320), 2
+        ) == P(None, None, None, M)
+        assert tp_spec_for_path(
+            p + ("conv2", "kernel"), (3, 3, 320, 320), 2
+        ) == P(None, None, M, None)
+        assert tp_spec_for_path(
+            p + ("time_emb_proj", "kernel"), (1280, 320), 2
+        ) == P(None, M)
+
+    def test_indivisible_dims_replicate(self):
+        # final conv_out: 4 output channels at tp=8 -> replicated
+        assert tp_spec_for_path(
+            ("conv_out", "kernel"), (3, 3, 320, 4), 8
+        ) == P()
+        assert tp_spec_for_path(("conv1", "kernel"), (3, 3, 8, 6), 4) == P()
+
+    def test_norms_and_embeddings_replicate(self):
+        assert tp_spec_for_path(("norm1", "scale"), (320,), 2) == P()
+        # 1x1 transformer proj convs (4-D) stay replicated
+        assert tp_spec_for_path(
+            ("attentions_0", "proj_in", "kernel"), (1, 1, 320, 320), 2
+        ) == P()
+
+    def test_optax_embedded_param_paths(self):
+        """Adam mu/nu and EMA trees embed the param paths as suffixes —
+        the same rules must shard them identically to their params."""
+        p = ("0", "mu", "mid_block", "resnets_0", "conv1", "kernel")
+        assert tp_spec_for_path(p, (3, 3, 64, 64), 2) == \
+            P(None, None, None, M)
+
+    def test_tree_api(self):
+        tree = {
+            "attn1": {"to_q": {"kernel": jnp.zeros((32, 32))}},
+            "norm1": {"scale": jnp.zeros((32,))},
+        }
+        specs = tp_param_specs(tree, 2)
+        assert specs["attn1"]["to_q"]["kernel"] == P(None, M)
+        assert specs["norm1"]["scale"] == P()
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    from gmdx.models import TINY_UNET_CONFIG, UNet2DConditionModel
+
+    unet = UNet2DConditionModel(TINY_UNET_CONFIG)
+    params = unet.init(
+        jax.random.key(0),
+        jnp.zeros((1, 4, 8, 8)),
+        jnp.array(1.0),
+        jnp.zeros((1, 77, 32)),
+    )["params"]
+    return unet, params
+
+
+def test_unet_forward_tp_matches_replicated(tiny_unet):
+    """DP×TP-sharded forward == single-device forward (GSPMD only moves
+    layout, never math — this pins that the specs are consistent)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the conftest's 8-device CPU mesh")
+    unet, params = tiny_unet
+
+    x = jax.random.normal(jax.random.key(1), (4, 4, 8, 8), jnp.float32)
+    t = jnp.array(7.0)
+    ctx = jax.random.normal(jax.random.key(2), (4, 77, 32), jnp.float32)
+
+    fwd = jax.jit(lambda p, a, b, c: unet.apply({"params": p}, a, b, c))
+    ref = np.asarray(fwd(params, x, t, ctx))
+
+    mesh = make_mesh(8, ("data", "model"), shape=(4, 2))
+    sharded = tp_shard_params(mesh, params)
+    # at least the qkv/to_out/ff/conv pairs must actually be split
+    n_split = sum(
+        1
+        for s in jax.tree.leaves(
+            tp_param_specs(params, 2), is_leaf=lambda x: isinstance(x, P)
+        )
+        if s != P()
+    )
+    assert n_split >= 20, f"only {n_split} leaves sharded"
+
+    from gmdx.dist import shard_batch
+
+    xb, ctxb = shard_batch(mesh, (x, ctx))
+    out = np.asarray(fwd(sharded, xb, t, ctxb))
+    np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-5)
