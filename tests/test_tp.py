@@ -128,3 +128,62 @@ def test_unet_forward_tp_matches_replicated(tiny_unet):
     xb, ctxb = shard_batch(mesh, (x, ctx))
     out = np.asarray(fwd(sharded, xb, t, ctxb))
     np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-5)
+
+
+def test_dual_pipeline_with_tp_params_matches_replicated():
+    """The flagship dual-UNet sampling loop must produce the same latents
+    with TP-sharded params (serving layout) as with replicated params."""
+    import dataclasses
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from gmdx.models import (
+        AutoencoderKL,
+        CLIPTextModel,
+        CLIPTokenizer,
+        TINY_CLIP_CONFIG,
+        TINY_UNET_CONFIG,
+        TINY_VAE_CONFIG,
+        UNet2DConditionModel,
+    )
+    from gmdx.pipelines import StableDiffusionDualUNetPipeline
+    from gmdx.schedulers import PNDMScheduler
+
+    cfg8 = dataclasses.replace(TINY_UNET_CONFIG, in_channels=8)
+    unet8 = UNet2DConditionModel(cfg8)
+    unet4 = UNet2DConditionModel(TINY_UNET_CONFIG)
+    vae = AutoencoderKL(TINY_VAE_CONFIG)
+    text = CLIPTextModel(TINY_CLIP_CONFIG)
+    tok = CLIPTokenizer.tiny()
+    params = {
+        "gm_unet": unet8.init(
+            jax.random.key(0), jnp.zeros((1, 8, 4, 4)), jnp.array(1.0),
+            jnp.zeros((1, 7, 32)),
+        )["params"],
+        "unet": unet4.init(
+            jax.random.key(1), jnp.zeros((1, 4, 4, 4)), jnp.array(1.0),
+            jnp.zeros((1, 7, 32)),
+        )["params"],
+        "vae": vae.init(
+            jax.random.key(2), jnp.zeros((1, 3, 32, 32)), jax.random.key(3)
+        )["params"],
+        "text_encoder": text.init(
+            jax.random.key(4), jnp.zeros((1, 77), jnp.int32)
+        )["params"],
+    }
+    pipe = StableDiffusionDualUNetPipeline(
+        unet4, vae, text, tok, PNDMScheduler(), gm_unet=unet8
+    )
+
+    def run(p):
+        sdr, gm = pipe(
+            p, "a scene", key=jax.random.key(9), height=32, width=32,
+            num_inference_steps=3, output_type="latent",
+        )
+        return np.asarray(sdr), np.asarray(gm)
+
+    ref_sdr, ref_gm = run(params)
+    mesh = make_mesh(2, ("data", "model"), shape=(1, 2))
+    sdr, gm = run(tp_shard_params(mesh, params))
+    np.testing.assert_allclose(sdr, ref_sdr, rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(gm, ref_gm, rtol=3e-5, atol=3e-5)
