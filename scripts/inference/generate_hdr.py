@@ -50,6 +50,12 @@ def parse_args():
         "--prompt", type=str,
         default="high quality, high dynamic range, 8k resolution",
     )
+    parser.add_argument(
+        "--tp_size", type=int, default=1,
+        help="Tensor-parallel width: split every denoise step over this "
+        "many chips (gmdx.dist.tp Megatron-style specs, new capability — "
+        "the reference is single-GPU here). 1 = single-chip (default).",
+    )
     return parser.parse_args()
 
 
@@ -93,6 +99,19 @@ def main():
         "vae": bundle["params"]["vae"],
         "text_encoder": bundle["params"]["text_encoder"],
     }
+    if args.tp_size > 1:
+        from gmdx.dist import make_mesh, tp_shard_params
+
+        n = len(jax.devices())
+        if n % args.tp_size:
+            raise ValueError(
+                f"--tp_size {args.tp_size} does not divide the device "
+                f"count ({n})"
+            )
+        mesh = make_mesh(
+            None, ("data", "model"), shape=(n // args.tp_size, args.tp_size)
+        )
+        params = tp_shard_params(mesh, params)
 
     pngs = sorted(glob.glob(os.path.join(args.sdr_input_path, "*.png")))
     if not pngs:
