@@ -17,15 +17,19 @@ import queue
 import threading
 from typing import Iterator
 
-from gmdx.dist.mesh import shard_batch
+from gmdx.dist.mesh import shard_batch, shard_batch_spatial
 
 
-def device_prefetch(loader, mesh, depth: int = 2, axis: str = "data") -> Iterator:
+def device_prefetch(
+    loader, mesh, depth: int = 2, axis: str = "data", spatial: bool = False
+) -> Iterator:
     """Wrap a host-batch iterator; yields device-sharded batches.
 
     ``depth`` bounds how many batches may be resident ahead of the consumer
     (device memory = depth x batch bytes). Exceptions from the underlying
-    loader are re-raised at the consumer.
+    loader are re-raised at the consumer. ``spatial=True`` places image
+    leaves batch+H sharded (``shard_batch_spatial``) for ``--shard_strategy
+    sp`` instead of batch-only.
     """
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
@@ -46,10 +50,15 @@ def device_prefetch(loader, mesh, depth: int = 2, axis: str = "data") -> Iterato
                 continue
         return False
 
+    place = (
+        (lambda b: shard_batch_spatial(mesh, b)) if spatial
+        else (lambda b: shard_batch(mesh, b, axis))
+    )
+
     def producer():
         try:
             for batch in loader:
-                if not put(shard_batch(mesh, batch, axis)):
+                if not put(place(batch)):
                     return
         except BaseException as e:  # noqa: BLE001 — forwarded to consumer
             put(e)

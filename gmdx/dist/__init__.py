@@ -15,8 +15,10 @@ from gmdx.dist.mesh import (
     fsdp_shard,
     apply_shard_strategy,
     data_sharding,
+    spatial_sharding,
     replicated_sharding,
     shard_batch,
+    shard_batch_spatial,
     replicate,
     local_device_count,
 )
@@ -38,8 +40,10 @@ __all__ = [
     "fsdp_shard",
     "apply_shard_strategy",
     "data_sharding",
+    "spatial_sharding",
     "replicated_sharding",
     "shard_batch",
+    "shard_batch_spatial",
     "replicate",
     "local_device_count",
     "tp_param_specs",

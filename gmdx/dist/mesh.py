@@ -48,15 +48,15 @@ def make_mesh(
 
 def make_train_mesh(strategy: str = "ddp", tp_size: int = 2) -> Mesh:
     """Mesh for a trainer's ``--shard_strategy``: a 1-D ``data`` mesh for
-    ddp/zero1/fsdp, a 2-D ``data``×``model`` mesh for tp (``tp_size`` chips
-    per model-shard group; the inner axis so TP collectives ride the
-    fastest ICI hops)."""
-    if strategy == "tp":
+    ddp/zero1/fsdp, a 2-D ``data``×``model`` mesh for tp/sp (``tp_size``
+    chips per model-shard (tp) or image-shard (sp) group; the inner axis so
+    the group's collectives ride the fastest ICI hops)."""
+    if strategy in ("tp", "sp"):
         n = len(jax.devices())
         if tp_size < 2 or n % tp_size:
             raise ValueError(
-                f"--shard_strategy tp needs tp_size >= 2 dividing the device "
-                f"count ({n}); got tp_size={tp_size}"
+                f"--shard_strategy {strategy} needs a group size >= 2 "
+                f"dividing the device count ({n}); got {tp_size}"
             )
         return make_mesh(
             None, ("data", "model"), shape=(n // tp_size, tp_size)
@@ -67,6 +67,40 @@ def make_train_mesh(strategy: str = "ddp", tp_size: int = 2) -> Mesh:
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(axis))
+
+
+def spatial_sharding(
+    mesh: Mesh,
+    ndim: int = 4,
+    h_dim: int = 2,
+    batch_axis: str = "data",
+    sp_axis: str = "model",
+) -> NamedSharding:
+    """Batch over ``data`` + image H over ``sp_axis`` (spatial/sequence
+    parallelism). Feeding activations placed this way into the jitted
+    step is the whole mechanism: GSPMD propagates the spatial split
+    through the conv/GN/attention stack, inserting halo exchanges for the
+    3x3 convs and K/V gathers for attention. No reference equivalent
+    (SURVEY.md §5.7 — the reference caps at one GPU's memory); this is
+    what takes >1024² HDR frames past one chip's HBM."""
+    spec = [None] * ndim
+    spec[0] = batch_axis
+    spec[h_dim] = sp_axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch_spatial(mesh: Mesh, batch, h_dim: int = 2):
+    """Device-put NCHW image leaves (ndim >= 4) batch+H sharded;
+    everything else (ids, embeddings) batch-sharded only."""
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 4:
+            return jax.device_put(
+                x, spatial_sharding(mesh, x.ndim, h_dim)
+            )
+        return jax.device_put(x, data_sharding(mesh))
+
+    return jax.tree.map(put, batch)
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -152,14 +186,17 @@ def apply_shard_strategy(
     axis. fsdp: ``param_fields`` AND ``opt_fields`` split. tp: params AND
     optimizer/EMA trees tensor-parallel over the mesh's ``model`` axis
     (gmdx.dist.tp rules; requires a 2-D data×model mesh — combine with the
-    batch sharded over ``data`` for DP×TP). Remaining fields (and
-    None-valued ones) are replicated. Each field is placed straight
-    from host — replicating the whole state first would allocate exactly
-    the copies zero1/fsdp exist to avoid.
+    batch sharded over ``data`` for DP×TP). sp: params replicated like ddp —
+    the parallelism lives in the BATCH placement (``shard_batch_spatial``:
+    image H split over the ``model`` axis, GSPMD inserts conv halos /
+    attention gathers). Remaining fields (and None-valued ones) are
+    replicated. Each field is placed straight from host — replicating the
+    whole state first would allocate exactly the copies zero1/fsdp exist
+    to avoid.
     """
     import dataclasses as _dc
 
-    if strategy == "ddp":
+    if strategy in ("ddp", "sp"):
         return replicate(mesh, state)
     if strategy == "tp":
         from gmdx.dist.tp import tp_shard_params
@@ -199,8 +236,10 @@ __all__ = [
     "fsdp_shard",
     "apply_shard_strategy",
     "data_sharding",
+    "spatial_sharding",
     "replicated_sharding",
     "shard_batch",
+    "shard_batch_spatial",
     "replicate",
     "local_device_count",
 ]

@@ -55,7 +55,10 @@ def parse_args():
                    choices=[None, "no", "fp16", "bf16"])
     p.add_argument("--tp_size", type=int, default=2,
                    help="model-axis size for --shard_strategy tp")
-    p.add_argument("--shard_strategy", choices=["ddp", "zero1", "fsdp", "tp"],
+    p.add_argument("--sp_size", type=int, default=2,
+                   help="spatial-group size for --shard_strategy sp")
+    p.add_argument("--shard_strategy",
+                   choices=["ddp", "zero1", "fsdp", "tp", "sp"],
                    default="ddp")
     p.add_argument("--logging_dir", type=str, default="logs")
     p.add_argument("--report_to", type=str, default="tensorboard")
@@ -155,7 +158,10 @@ def main():
 
     from gmdx.dist import make_train_mesh
 
-    mesh = make_train_mesh(args.shard_strategy, args.tp_size)
+    mesh = make_train_mesh(
+        args.shard_strategy,
+        args.sp_size if args.shard_strategy == "sp" else args.tp_size,
+    )
     n_dev = mesh.shape["data"]
     cfg = ControlNetTrainConfig(
         learning_rate=args.learning_rate,
@@ -248,7 +254,9 @@ def main():
                 "input_ids": batch["input_ids"],
             }
 
-    for dev_batch in device_prefetch(host_batches(), mesh):
+    for dev_batch in device_prefetch(
+        host_batches(), mesh, spatial=(args.shard_strategy == "sp")
+    ):
         if global_step >= max_train_steps:
             break
         key, k_step = jax.random.split(key)

@@ -56,6 +56,13 @@ def parse_args():
         "many chips (gmdx.dist.tp Megatron-style specs, new capability — "
         "the reference is single-GPU here). 1 = single-chip (default).",
     )
+    parser.add_argument(
+        "--sp_size", type=int, default=1,
+        help="Spatial-parallel width: shard the image/latent H axis over "
+        "this many chips (GSPMD conv halos / attention gathers) — for "
+        "resolutions past one chip's HBM. Mutually exclusive with "
+        "--tp_size. 1 = single-chip (default).",
+    )
     return parser.parse_args()
 
 
@@ -99,19 +106,35 @@ def main():
         "vae": bundle["params"]["vae"],
         "text_encoder": bundle["params"]["text_encoder"],
     }
-    if args.tp_size > 1:
-        from gmdx.dist import make_mesh, tp_shard_params
+    if args.tp_size > 1 and args.sp_size > 1:
+        raise ValueError("--tp_size and --sp_size are mutually exclusive")
+    sp_mesh = None
+    if args.tp_size > 1 or args.sp_size > 1:
+        from gmdx.dist import make_mesh
 
+        width = max(args.tp_size, args.sp_size)
         n = len(jax.devices())
-        if n % args.tp_size:
+        if n % width:
             raise ValueError(
-                f"--tp_size {args.tp_size} does not divide the device "
+                f"--tp_size/--sp_size {width} does not divide the device "
                 f"count ({n})"
             )
-        mesh = make_mesh(
-            None, ("data", "model"), shape=(n // args.tp_size, args.tp_size)
-        )
-        params = tp_shard_params(mesh, params)
+        if args.tp_size > 1:
+            from gmdx.dist import tp_shard_params
+
+            mesh = make_mesh(
+                None, ("data", "model"), shape=(n // width, width)
+            )
+            params = tp_shard_params(mesh, params)
+        else:
+            # Params stay replicated; the parallelism is the INPUT
+            # placement — the pipeline's jitted ops inherit the H split
+            # (conv halos, attention gathers placed by GSPMD). One image
+            # at a time, so the spatial group is the whole (sub)mesh.
+            from gmdx.dist import replicate
+
+            sp_mesh = make_mesh(width, ("data", "model"), shape=(1, width))
+            params = replicate(sp_mesh, params)
 
     pngs = sorted(glob.glob(os.path.join(args.sdr_input_path, "*.png")))
     if not pngs:
@@ -123,6 +146,10 @@ def main():
         name = os.path.splitext(os.path.basename(path))[0]
         sdr01 = load_image(path, size=(args.resolution, args.resolution))
         sdr_in = jnp.asarray(to_model_input(sdr01))  # (1, 3, H, W) in [-1,1]
+        if sp_mesh is not None:
+            from gmdx.dist import spatial_sharding
+
+            sdr_in = jax.device_put(sdr_in, spatial_sharding(sp_mesh, 4))
 
         k_enc, k_pipe = jax.random.split(jax.random.fold_in(key, hash(name) % 2**31))
         sdr_latent = pipe.encode_sdr(params, sdr_in, k_enc)

@@ -33,6 +33,13 @@ def parse_args():
         "--prompt",
         default="high dynamic range, HDR10, 4000 nits peak brightness",
     )
+    p.add_argument(
+        "--sp_size", type=int, default=1,
+        help="Spatial-parallel width: shard the frame's H axis over this "
+        "many chips (params replicated, GSPMD conv halos / attention "
+        "gathers) — the 1024²+ default resolution is where a single "
+        "chip's HBM runs out first. 1 = single-chip (default).",
+    )
     return p.parse_args()
 
 
@@ -79,6 +86,22 @@ def main():
         bundle["scheduler"], gm_unet=mods["gm_unet"], controlnet=cnet,
     )
 
+    sp_mesh = None
+    if args.sp_size > 1:
+        from gmdx.dist import make_mesh, replicate, spatial_sharding
+
+        n = len(jax.devices())
+        if n < args.sp_size:
+            raise ValueError(
+                f"--sp_size {args.sp_size} exceeds the device count ({n})"
+            )
+        # One frame at a time: the spatial group is the whole submesh;
+        # params replicated, the H split rides the input placement.
+        sp_mesh = make_mesh(
+            args.sp_size, ("data", "model"), shape=(1, args.sp_size)
+        )
+        params = replicate(sp_mesh, params)
+
     os.makedirs(args.output_dir, exist_ok=True)
     pngs = sorted(glob.glob(os.path.join(args.sdr_input_path, "*.png")))
     pngs = pngs[: args.max_images]
@@ -86,6 +109,8 @@ def main():
         name = os.path.splitext(os.path.basename(path))[0]
         sdr01 = load_image(path, size=(args.resolution, args.resolution))
         sdr_in = jnp.asarray(sdr01.transpose(2, 0, 1))[None]
+        if sp_mesh is not None:
+            sdr_in = jax.device_put(sdr_in, spatial_sharding(sp_mesh, 4))
         sdr_out, gm_out, hdr = upconvert_sdr_to_hdrtv(
             pipe, params, sdr_in, args.prompt,
             key=jax.random.fold_in(jax.random.key(args.seed), i),

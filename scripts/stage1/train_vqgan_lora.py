@@ -69,15 +69,18 @@ def parse_args():
     p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument(
         "--shard_strategy",
-        choices=["ddp", "zero1", "fsdp", "tp"],
+        choices=["ddp", "zero1", "fsdp", "tp", "sp"],
         default="ddp",
         help="ddp: replicated (reference DDP equivalent); zero1: both "
         "optimizer states sharded over the data axis; fsdp: generator "
         "trainables + discriminator params + optimizer states sharded; "
-        "tp: tensor parallelism over a data×model mesh (gmdx.dist.tp).",
+        "tp: tensor parallelism over a data×model mesh (gmdx.dist.tp); "
+        "sp: spatial parallelism — image H sharded over the model axis.",
     )
     p.add_argument("--tp_size", type=int, default=2,
                    help="model-axis size for --shard_strategy tp")
+    p.add_argument("--sp_size", type=int, default=2,
+                   help="spatial-group size for --shard_strategy sp")
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--discr_learning_rate", type=float, default=1e-4)
     p.add_argument("--scale_lr", action="store_true")
@@ -284,7 +287,10 @@ def main():
 
     from gmdx.dist import make_train_mesh
 
-    mesh = make_train_mesh(args.shard_strategy, args.tp_size)
+    mesh = make_train_mesh(
+        args.shard_strategy,
+        args.sp_size if args.shard_strategy == "sp" else args.tp_size,
+    )
     n_dev = mesh.shape["data"]
     lr, dlr = args.learning_rate, args.discr_learning_rate
     if args.scale_lr:
@@ -404,10 +410,13 @@ def main():
             miss = np.asarray(clipped) * 2.0 - 1.0
         else:
             miss = pixel_values
-        dev_batch = shard_batch(
-            mesh,
-            {"pixel_values": pixel_values, "miss_pixel_values": miss},
-        )
+        batch_np = {"pixel_values": pixel_values, "miss_pixel_values": miss}
+        if args.shard_strategy == "sp":
+            from gmdx.dist import shard_batch_spatial
+
+            dev_batch = shard_batch_spatial(mesh, batch_np)
+        else:
+            dev_batch = shard_batch(mesh, batch_np)
         # Reference alternation cadence on the dataloader index (:1114).
         generator_step = ((i // args.gradient_accumulation_steps) % 2) == 0
         if generator_step:

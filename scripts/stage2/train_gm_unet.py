@@ -59,18 +59,25 @@ def parse_args():
     p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument(
         "--shard_strategy",
-        choices=["ddp", "zero1", "fsdp", "tp"],
+        choices=["ddp", "zero1", "fsdp", "tp", "sp"],
         default="ddp",
         help="ddp: replicated params+opt (reference DDP equivalent); "
         "zero1: optimizer state sharded over the data axis; fsdp: params "
         "AND optimizer state sharded (ZeRO-3), weights all-gathered at use; "
         "tp: Megatron-style tensor parallelism over a data×model mesh "
-        "(gmdx.dist.tp — new capability, no reference equivalent).",
+        "(gmdx.dist.tp); sp: spatial parallelism — image H sharded over "
+        "the model axis, GSPMD halo exchanges (both new capabilities, no "
+        "reference equivalent).",
     )
     p.add_argument(
         "--tp_size", type=int, default=2,
         help="model-axis size for --shard_strategy tp (must divide the "
         "device count; SD-1.5 head count limits useful values to 2/4/8).",
+    )
+    p.add_argument(
+        "--sp_size", type=int, default=2,
+        help="spatial-group size for --shard_strategy sp (chips cooperating "
+        "on one image's rows; must divide the device count).",
     )
     p.add_argument(
         "--cache_latents",
@@ -330,7 +337,10 @@ def main():
     lr = args.learning_rate
     from gmdx.dist import make_train_mesh
 
-    mesh = make_train_mesh(args.shard_strategy, args.tp_size)
+    mesh = make_train_mesh(
+        args.shard_strategy,
+        args.sp_size if args.shard_strategy == "sp" else args.tp_size,
+    )
     # batch scaling follows the DATA axis: under tp each model-shard group
     # of tp_size chips processes one per-device batch jointly.
     n_dev = mesh.shape["data"]
@@ -455,8 +465,11 @@ def main():
     from gmdx.data import device_prefetch
 
     # H2D copies run ahead on a background thread so the step dequeues
-    # device-resident batches (gmdx/data/prefetch.py).
-    for dev_batch in device_prefetch(host_batches(), mesh):
+    # device-resident batches (gmdx/data/prefetch.py). Under sp the image
+    # leaves land batch+H sharded and GSPMD propagates the spatial split.
+    for dev_batch in device_prefetch(
+        host_batches(), mesh, spatial=(args.shard_strategy == "sp")
+    ):
         if global_step >= max_train_steps:
             break
         key, k_step = jax.random.split(key)

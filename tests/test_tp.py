@@ -130,6 +130,27 @@ def test_unet_forward_tp_matches_replicated(tiny_unet):
     np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-5)
 
 
+def test_unet_forward_spatial_sharding_matches_replicated(tiny_unet):
+    """Latents sharded along H (spatial parallelism) — GSPMD inserts the
+    conv halos / attention gathers; the result must be bit-compatible
+    with the replicated forward."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the conftest's 8-device CPU mesh")
+    from gmdx.dist import shard_batch_spatial
+
+    unet, params = tiny_unet
+    x = jax.random.normal(jax.random.key(3), (4, 4, 8, 8), jnp.float32)
+    ctx = jax.random.normal(jax.random.key(4), (4, 77, 32), jnp.float32)
+    fwd = jax.jit(lambda p, a, c: unet.apply({"params": p}, a, jnp.array(5.0), c))
+    ref = np.asarray(fwd(params, x, ctx))
+
+    mesh = make_mesh(8, ("data", "model"), shape=(4, 2))
+    xb, ctxb = shard_batch_spatial(mesh, (x, ctx))
+    out = np.asarray(fwd(params, xb, ctxb))
+    np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.slow
 def test_dual_pipeline_with_tp_params_matches_replicated():
     """The flagship dual-UNet sampling loop must produce the same latents
     with TP-sharded params (serving layout) as with replicated params."""
@@ -187,3 +208,103 @@ def test_dual_pipeline_with_tp_params_matches_replicated():
     sdr, gm = run(tp_shard_params(mesh, params))
     np.testing.assert_allclose(sdr, ref_sdr, rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(gm, ref_gm, rtol=3e-5, atol=3e-5)
+
+
+def test_sp_strategy_plumbing():
+    """--shard_strategy sp: mesh shape, replicated state placement, and
+    device_prefetch's batch+H placement of image leaves."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the conftest's 8-device CPU mesh")
+    from flax import struct
+
+    from gmdx.dist import (
+        apply_shard_strategy, make_train_mesh, spatial_sharding,
+    )
+    from gmdx.data import device_prefetch
+
+    mesh = make_train_mesh("sp", 2)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "data": 4, "model": 2,
+    }
+
+    @struct.dataclass
+    class S:
+        params: dict
+        opt_state: dict
+
+    state = S(params={"w": np.ones((4, 4))}, opt_state={"m": np.zeros(3)})
+    placed = apply_shard_strategy(
+        mesh, state, "sp", param_fields=("params",), opt_fields=("opt_state",)
+    )
+    assert placed.params["w"].sharding.is_fully_replicated
+
+    batch = {
+        "sdr": np.zeros((4, 3, 8, 8), np.float32),
+        "input_ids": np.zeros((4, 77), np.int32),
+    }
+    out = next(iter(device_prefetch(iter([batch]), mesh, spatial=True)))
+    assert out["sdr"].sharding == spatial_sharding(mesh, 4)
+    assert not out["input_ids"].sharding.spec or (
+        out["input_ids"].sharding.spec[0] == "data"
+    )
+
+
+@pytest.mark.slow
+def test_gm_pipeline_spatial_input_matches_replicated():
+    """generate_hdr's --sp_size layout: params replicated on a (1, sp) mesh,
+    the SDR input sharded along H — the sampled GM latents must match the
+    unsharded run (GSPMD halos/gathers change nothing numerically)."""
+    import dataclasses
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from gmdx.dist import replicate, spatial_sharding
+    from gmdx.models import (
+        AutoencoderKL,
+        CLIPTextModel,
+        CLIPTokenizer,
+        TINY_CLIP_CONFIG,
+        TINY_UNET_CONFIG,
+        TINY_VAE_CONFIG,
+        UNet2DConditionModel,
+    )
+    from gmdx.pipelines import StableDiffusionGMPipeline
+    from gmdx.schedulers import PNDMScheduler
+
+    cfg8 = dataclasses.replace(TINY_UNET_CONFIG, in_channels=8)
+    unet8 = UNet2DConditionModel(cfg8)
+    vae = AutoencoderKL(TINY_VAE_CONFIG)
+    text = CLIPTextModel(TINY_CLIP_CONFIG)
+    tok = CLIPTokenizer.tiny()
+    params = {
+        "unet": unet8.init(
+            jax.random.key(0), jnp.zeros((1, 8, 4, 4)), jnp.array(1.0),
+            jnp.zeros((1, 7, 32)),
+        )["params"],
+        "vae": vae.init(
+            jax.random.key(1), jnp.zeros((1, 3, 32, 32)), jax.random.key(2)
+        )["params"],
+        "text_encoder": text.init(
+            jax.random.key(3), jnp.zeros((1, 77), jnp.int32)
+        )["params"],
+    }
+    pipe = StableDiffusionGMPipeline(unet8, vae, text, tok, PNDMScheduler())
+    sdr_in = jax.random.uniform(
+        jax.random.key(5), (1, 3, 32, 32), jnp.float32
+    ) * 2 - 1
+
+    def run(p, x):
+        lat = pipe.encode_sdr(p, x, jax.random.key(6))
+        gm = pipe(
+            p, lat, "a scene", key=jax.random.key(7),
+            num_inference_steps=3, output_type="latent",
+        )
+        return np.asarray(gm)
+
+    ref = run(params, sdr_in)
+    mesh = make_mesh(2, ("data", "model"), shape=(1, 2))
+    out = run(
+        replicate(mesh, params),
+        jax.device_put(sdr_in, spatial_sharding(mesh, 4)),
+    )
+    np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-5)
