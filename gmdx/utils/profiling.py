@@ -156,6 +156,23 @@ __all__ = [
 ]
 
 
+def _host_cpu_fingerprint() -> str:
+    """Short stable hash of this host's CPU ISA feature set."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(feats.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine() or "unknown"
+
+
 def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
     """Turn on jax's persistent compilation cache.
 
@@ -180,6 +197,13 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
         path = env or os.path.join(repo_root, ".cache", "xla_compile")
+        # XLA:CPU cache entries embed host-AOT machine code but the cache
+        # key does NOT cover CPU features — reusing a dir across hosts of
+        # different microarchitectures risks SIGILL (cpu_aot_loader warns).
+        # Partition the CPU cache per host feature set; TPU executables
+        # are device code and stay shared.
+        if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+            path = os.path.join(path, f"cpu-{_host_cpu_fingerprint()}")
     try:
         os.makedirs(path, exist_ok=True)
     except OSError:
