@@ -77,6 +77,9 @@ def make_dataloader(
     num_workers: int = 4,
     max_samples: Optional[int] = None,
     use_native: bool = True,
+    process_shard: bool = False,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields batches: pixel_values / gainmap_values (B, 3, R, R) float32 in
     [-1, 1], input_ids / attention_mask (B, 77) int32. Drops the last ragged
@@ -85,11 +88,39 @@ def make_dataloader(
     ``use_native`` routes decode+preprocess through the C++ thread pool
     (native/imagedec.cpp, ``num_workers`` threads); crop/flip draws use the
     same per-batch Generator calls in the same order as the PIL path, so the
-    two paths produce the same batches (up to resize rounding)."""
+    two paths produce the same batches (up to resize rounding).
+
+    ``process_shard``: multi-host input sharding. ``batch_size`` stays the
+    GLOBAL batch; each host decodes and yields only its own contiguous
+    ``batch_size / process_count`` rows of it (the shuffled order is
+    seed-derived, so all hosts agree on the global order without
+    communicating). Feed the result through
+    ``shard_batch(..., process_local=True)`` /
+    ``device_prefetch(..., process_local=True)`` — this keeps per-host
+    decode O(local batch) where the default path is O(global batch).
+    ``process_index``/``process_count`` override jax's (for tests).
+    Augmentation draws are seeded per (batch, process), so sharded runs are
+    deterministic but not draw-for-draw identical to single-host runs.
+    """
 
     n = len(dataset) if max_samples is None else min(max_samples, len(dataset))
     if n < batch_size:
         raise ValueError(f"dataset ({n}) smaller than batch size ({batch_size})")
+
+    pi, pc = 0, 1
+    if process_shard:
+        if process_index is None or process_count is None:
+            import jax
+
+            pi = jax.process_index() if process_index is None else process_index
+            pc = jax.process_count() if process_count is None else process_count
+        else:
+            pi, pc = process_index, process_count
+        if batch_size % pc:
+            raise ValueError(
+                f"process_shard needs process_count ({pc}) to divide the "
+                f"global batch size ({batch_size})"
+            )
 
     def sample(idx: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         sdr, gm, text = dataset.load_pair(idx)
@@ -179,7 +210,12 @@ def make_dataloader(
             for epoch, order in epochs():
                 for start in range(0, n - batch_size + 1, batch_size):
                     idxs = order[start : start + batch_size]
-                    rng = np.random.default_rng((seed, epoch, start))
+                    if pc > 1:
+                        local = batch_size // pc
+                        idxs = idxs[pi * local : (pi + 1) * local]
+                        rng = np.random.default_rng((seed, epoch, start, pi))
+                    else:
+                        rng = np.random.default_rng((seed, epoch, start))
                     batch = None
                     if use_native and os.environ.get("GMDX_NO_NATIVE") != "1":
                         batch = native_batch(idxs, rng)

@@ -21,7 +21,12 @@ from gmdx.dist.mesh import shard_batch, shard_batch_spatial
 
 
 def device_prefetch(
-    loader, mesh, depth: int = 2, axis: str = "data", spatial: bool = False
+    loader,
+    mesh,
+    depth: int = 2,
+    axis: str = "data",
+    spatial: bool = False,
+    process_local: bool = False,
 ) -> Iterator:
     """Wrap a host-batch iterator; yields device-sharded batches.
 
@@ -29,7 +34,10 @@ def device_prefetch(
     (device memory = depth x batch bytes). Exceptions from the underlying
     loader are re-raised at the consumer. ``spatial=True`` places image
     leaves batch+H sharded (``shard_batch_spatial``) for ``--shard_strategy
-    sp`` instead of batch-only.
+    sp`` instead of batch-only. ``process_local=True`` marks the loader as
+    yielding only this host's rows (a ``process_shard`` dataloader) —
+    assembled into the global array via
+    ``jax.make_array_from_process_local_data`` instead of device_put.
     """
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
@@ -52,7 +60,7 @@ def device_prefetch(
 
     place = (
         (lambda b: shard_batch_spatial(mesh, b)) if spatial
-        else (lambda b: shard_batch(mesh, b, axis))
+        else (lambda b: shard_batch(mesh, b, axis, process_local=process_local))
     )
 
     def producer():

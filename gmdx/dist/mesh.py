@@ -107,9 +107,24 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Device-put a host batch pytree with the batch dim sharded."""
+def shard_batch(mesh: Mesh, batch, axis: str = "data", *, process_local: bool = False):
+    """Device-put a host batch pytree with the batch dim sharded.
+
+    Default: ``batch`` is the GLOBAL batch, identical on every host —
+    correct under multi-host (each process transfers only its addressable
+    rows) but each host must materialize (decode) all of it.
+    ``process_local=True``: ``batch`` holds only THIS process's rows
+    (``global_rows / process_count``, the slice a ``process_shard`` loader
+    yields) and the global array is assembled zero-copy via
+    ``jax.make_array_from_process_local_data`` — the multi-host input
+    pipeline path that keeps host decode O(local), not O(global).
+    """
     sharding = data_sharding(mesh, axis)
+    if process_local and jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

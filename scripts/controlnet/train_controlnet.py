@@ -222,6 +222,9 @@ def main():
         seed=args.seed or 0,
         num_workers=args.dataloader_num_workers,
         max_samples=args.max_train_samples,
+        # Multi-host: per-host rows, assembled process-locally in the
+        # prefetcher (sp keeps the global path — H-sharded leaves).
+        process_shard=(args.shard_strategy != "sp"),
     )
 
     from gmdx.dist import apply_shard_strategy
@@ -255,7 +258,8 @@ def main():
             }
 
     for dev_batch in device_prefetch(
-        host_batches(), mesh, spatial=(args.shard_strategy == "sp")
+        host_batches(), mesh, spatial=(args.shard_strategy == "sp"),
+        process_local=(args.shard_strategy != "sp"),
     ):
         if global_step >= max_train_steps:
             break

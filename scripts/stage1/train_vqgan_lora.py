@@ -385,6 +385,8 @@ def main():
         seed=args.seed or 0,
         num_workers=args.dataloader_num_workers,
         max_samples=args.max_train_samples,
+        # Multi-host: per-host rows (sp keeps the global path).
+        process_shard=(args.shard_strategy != "sp"),
     )
 
     metrics_log = MetricsLogger(
@@ -416,7 +418,7 @@ def main():
 
             dev_batch = shard_batch_spatial(mesh, batch_np)
         else:
-            dev_batch = shard_batch(mesh, batch_np)
+            dev_batch = shard_batch(mesh, batch_np, process_local=True)
         # Reference alternation cadence on the dataloader index (:1114).
         generator_step = ((i // args.gradient_accumulation_steps) % 2) == 0
         if generator_step:

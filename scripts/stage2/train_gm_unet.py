@@ -428,6 +428,12 @@ def main():
             seed=args.seed or 0,
             num_workers=args.dataloader_num_workers,
             max_samples=args.max_train_samples,
+            # Multi-host: each host decodes only its own rows of the global
+            # batch (seed-derived order, no cross-host coordination) and the
+            # prefetcher assembles the global array process-locally below.
+            # sp keeps the global path: its leaves are H-sharded across
+            # processes, not row-sliced.
+            process_shard=(args.shard_strategy != "sp"),
         )
 
     from gmdx.dist import apply_shard_strategy
@@ -467,8 +473,11 @@ def main():
     # H2D copies run ahead on a background thread so the step dequeues
     # device-resident batches (gmdx/data/prefetch.py). Under sp the image
     # leaves land batch+H sharded and GSPMD propagates the spatial split.
+    # process_local matches the loader: the parquet path yields per-host
+    # rows (process_shard above); the latent cache yields global batches.
     for dev_batch in device_prefetch(
-        host_batches(), mesh, spatial=(args.shard_strategy == "sp")
+        host_batches(), mesh, spatial=(args.shard_strategy == "sp"),
+        process_local=(args.shard_strategy != "sp" and not args.cache_latents),
     ):
         if global_step >= max_train_steps:
             break
