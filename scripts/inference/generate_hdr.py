@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import zlib
 
 
 def parse_args():
@@ -55,6 +56,15 @@ def parse_args():
         help="Tensor-parallel width: split every denoise step over this "
         "many chips (gmdx.dist.tp Megatron-style specs, new capability — "
         "the reference is single-GPU here). 1 = single-chip (default).",
+    )
+    parser.add_argument(
+        "--batch_size", type=int, default=1,
+        help="Frames per sampling-loop dispatch. CFG already doubles the "
+        "UNet batch, but batch 1 still underfills the chip — the measured "
+        "serving throughput (BENCHNOTES.md) assumes batched dispatch. "
+        "batch 1 reproduces the reference's per-image outputs exactly; "
+        "batch > 1 draws the sampling noise per chunk instead of per image "
+        "(different draws, same model).",
     )
     parser.add_argument(
         "--sp_size", type=int, default=1,
@@ -142,55 +152,74 @@ def main():
     print(f"found {len(pngs)} SDR images")
 
     key = jax.random.key(args.seed)
-    for path in pngs:
-        name = os.path.splitext(os.path.basename(path))[0]
-        sdr01 = load_image(path, size=(args.resolution, args.resolution))
-        sdr_in = jnp.asarray(to_model_input(sdr01))  # (1, 3, H, W) in [-1,1]
-        if sp_mesh is not None:
-            from gmdx.dist import spatial_sharding
+    bs = max(1, args.batch_size)
+    for chunk_start in range(0, len(pngs), bs):
+        chunk = pngs[chunk_start : chunk_start + bs]
+        names, origs, latents = [], [], []
+        for path in chunk:
+            name = os.path.splitext(os.path.basename(path))[0]
+            sdr01 = load_image(path, size=(args.resolution, args.resolution))
+            sdr_in = jnp.asarray(to_model_input(sdr01))  # (1,3,H,W) [-1,1]
+            if sp_mesh is not None:
+                from gmdx.dist import spatial_sharding
 
-            sdr_in = jax.device_put(sdr_in, spatial_sharding(sp_mesh, 4))
+                sdr_in = jax.device_put(sdr_in, spatial_sharding(sp_mesh, 4))
+            # Per-image encode key: batch size never changes the encode
+            # draw. crc32, not hash(): Python string hashing is randomized
+            # per process (PYTHONHASHSEED), which silently made --seed
+            # non-reproducible across runs.
+            k_enc, _ = jax.random.split(
+                jax.random.fold_in(key, zlib.crc32(name.encode()) % 2**31)
+            )
+            names.append(name)
+            origs.append(np.asarray(sdr01, np.float32).transpose(2, 0, 1))
+            latents.append(pipe.encode_sdr(params, sdr_in, k_enc))
 
-        k_enc, k_pipe = jax.random.split(jax.random.fold_in(key, hash(name) % 2**31))
-        sdr_latent = pipe.encode_sdr(params, sdr_in, k_enc)
+        sdr_latent = jnp.concatenate(latents, axis=0)
+        # One sampling-loop dispatch for the whole chunk — at batch 1 the
+        # key matches the original per-image loop; at batch > 1 the noise
+        # is drawn per chunk (documented: different draws, same model).
+        _, k_pipe = jax.random.split(
+            jax.random.fold_in(key, zlib.crc32(names[0].encode()) % 2**31)
+        )
         gm_latent = pipe(
             params,
             sdr_latent,
-            args.prompt,
+            [args.prompt] * len(names),  # one (shared) prompt per frame
             key=k_pipe,
             num_inference_steps=args.num_inference_steps,
             output_type="latent",
         )
 
-        decoded_sdr = pipe.decode_latents(params, sdr_latent)
-        decoded_gm = pipe.decode_latents(params, gm_latent)
-        dec_sdr01 = np.clip(np.asarray(decoded_sdr[0]) / 2 + 0.5, 0, 1)
-        gm01 = np.clip(np.asarray(decoded_gm[0]) / 2 + 0.5, 0, 1)
+        decoded_sdr = np.asarray(pipe.decode_latents(params, sdr_latent))
+        decoded_gm = np.asarray(pipe.decode_latents(params, gm_latent))
+        for b, name in enumerate(names):
+            dec_sdr01 = np.clip(decoded_sdr[b] / 2 + 0.5, 0, 1)
+            gm01 = np.clip(decoded_gm[b] / 2 + 0.5, 0, 1)
 
-        save_image(
-            os.path.join(args.output_dir, f"sdr_{name}.png"),
-            dec_sdr01.transpose(1, 2, 0),
-        )
-        save_image(
-            os.path.join(args.output_dir, f"gm_{name}.png"),
-            gm01.transpose(1, 2, 0),
-        )
+            save_image(
+                os.path.join(args.output_dir, f"sdr_{name}.png"),
+                dec_sdr01.transpose(1, 2, 0),
+            )
+            save_image(
+                os.path.join(args.output_dir, f"gm_{name}.png"),
+                gm01.transpose(1, 2, 0),
+            )
 
-        # HDR from both the decoded and the original SDR (reference :256-265).
-        orig01 = np.asarray(sdr01, np.float32).transpose(2, 0, 1)
-        for tag, base in (("decoded", dec_sdr01), ("original", orig01)):
-            hdr = np.asarray(
-                apply_gm_to_sdr(
-                    jnp.asarray(gm01), jnp.asarray(base), qmax=args.qmax,
-                    clip_output=False,
+            # HDR from the decoded and the original SDR (reference :256-265).
+            for tag, base in (("decoded", dec_sdr01), ("original", origs[b])):
+                hdr = np.asarray(
+                    apply_gm_to_sdr(
+                        jnp.asarray(gm01), jnp.asarray(base), qmax=args.qmax,
+                        clip_output=False,
+                    )
                 )
-            )
-            save_hdr_image(
-                os.path.join(args.output_dir, f"hdr_{tag}_{name}.hdr"),
-                hdr.transpose(1, 2, 0),
-                qmax=args.qmax,
-            )
-        print(f"{name}: done")
+                save_hdr_image(
+                    os.path.join(args.output_dir, f"hdr_{tag}_{name}.hdr"),
+                    hdr.transpose(1, 2, 0),
+                    qmax=args.qmax,
+                )
+            print(f"{name}: done")
 
 
 if __name__ == "__main__":
