@@ -225,6 +225,32 @@ class TestStage3CLI:
         )
         assert img is not None and np.isfinite(img).all()
 
+    def test_generate_hdr_batched(self, workdir):
+        """--batch_size: one sampling dispatch per chunk, full artifact set
+        per frame (incl. the ragged tail chunk: 32 images / batch 5)."""
+        root, meta, data_dir = workdir
+        out = str(root / "s3out_batched")
+        r = run_script(
+            "scripts/inference/generate_hdr.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--unet_ckpt", str(root / "s2out" / "save_pipeline"),
+                "--sdr_input_path", data_dir,
+                "--output_dir", out,
+                "--resolution", "64",
+                "--num_inference_steps", "2",
+                "--seed", "42",
+                "--batch_size", "5",
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        names = os.listdir(out)
+        n_frames = len(
+            [n for n in os.listdir(data_dir) if n.endswith(".png")]
+        )
+        assert len([n for n in names if n.startswith("gm_")]) == n_frames
+        assert len([n for n in names if n.endswith(".hdr")]) == 2 * n_frames
+
 
 class TestExperimentHarnesses:
     def test_formal_baseline(self, workdir):
