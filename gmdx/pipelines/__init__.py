@@ -13,6 +13,7 @@ from gmdx.pipelines.controlnet import (
     StableDiffusionControlNetHDRPipeline,
     upconvert_sdr_to_hdrtv,
 )
+from gmdx.pipelines.pp import PipelinedDualUNet, pp_stage_meshes
 
 __all__ = [
     "StableDiffusionGMPipeline",
@@ -20,5 +21,7 @@ __all__ = [
     "StableDiffusionDualUNetImprovedPipeline",
     "StableDiffusionControlNetHDRPipeline",
     "upconvert_sdr_to_hdrtv",
+    "PipelinedDualUNet",
+    "pp_stage_meshes",
     "rescale_noise_cfg",
 ]
