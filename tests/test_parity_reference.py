@@ -61,6 +61,48 @@ def test_dual_pipeline_parity(stack_params_inputs, scheduler):
     assert parity.psnr(ref_gm, got_gm) > THRESHOLD_DB
 
 
+def test_hdr_chain_parity(stack_params_inputs, tmp_path):
+    """The generate_hdr export chain (decode -> Eq.(1) qmax=99 -> Radiance
+    .hdr write -> read-back) through both stacks: keeps the harness's
+    .hdr-vs-reference compare path (parity_vs_reference.py:41-97) from
+    bit-rotting. The file-level bound is RGBE quantization (~59 dB at
+    recorded scale); assert the 40 dB driver gate with margin."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "parity_vs_reference",
+        os.path.join(
+            os.path.dirname(__file__), os.pardir, "scripts", "tools",
+            "parity_vs_reference.py",
+        ),
+    )
+    harness = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(harness)
+
+    stack, params, inputs = stack_params_inputs
+    rng = np.random.default_rng(7)
+    shape = inputs["sdr_latent"].shape
+    sdr_lat = rng.standard_normal(shape).astype(np.float32) * 0.18215
+    gm_lat = rng.standard_normal(shape).astype(np.float32) * 0.18215
+
+    ref_path = str(tmp_path / "ref.hdr")
+    got_path = str(tmp_path / "gmdx.hdr")
+    ref_hdr = harness.reference_hdr_chain(stack, sdr_lat, gm_lat, ref_path)
+    got_hdr = harness.gmdx_hdr_chain(params, sdr_lat, gm_lat, got_path)
+
+    peak = float(max(ref_hdr.max(), 1e-6))
+    assert parity.psnr(ref_hdr, got_hdr, peak=peak) > THRESHOLD_DB
+    assert (
+        parity.psnr(
+            harness.read_hdr_file(ref_path),
+            harness.read_hdr_file(got_path),
+            peak=peak,
+        )
+        > 40.0
+    )
+
+
 def test_torch_models_accept_exported_state_dict(stack_params_inputs):
     """strict load of gmdx-exported weights into the diffusers-named torch
     modules: proves the export key space at this architecture."""
