@@ -25,6 +25,8 @@ def main():
     p.add_argument("--seed", type=int, default=1231)
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--qmax", type=float, default=99.0)
+    p.add_argument("--num_prompts", type=int, default=None,
+                   help="limit the prompt list (default: all 11)")
     p.add_argument(
         "--karras", action="store_true",
         help="actually sample on a Karras rho=7 sigma grid (DPM-Solver++ "
@@ -55,7 +57,8 @@ def main():
         pipe.scheduler = DPMSolverMultistepScheduler(use_karras_sigmas=True)
         print("Karras sigma grid enabled (DPM-Solver++ 2M)")
 
-    for i, prompt in enumerate(BASELINE_PROMPTS):
+    prompts = BASELINE_PROMPTS[: args.num_prompts]
+    for i, prompt in enumerate(prompts):
         sdr, gm = pipe(
             params, prompt, key=jax.random.key(args.seed),
             height=args.resolution, width=args.resolution,
@@ -67,7 +70,7 @@ def main():
             args.output_dir, f"{i:02d}", np.asarray(sdr[0]),
             np.asarray(gm[0]), args.qmax,
         )
-        print(f"[{i + 1}/{len(BASELINE_PROMPTS)}] done")
+        print(f"[{i + 1}/{len(prompts)}] done")
 
 
 if __name__ == "__main__":

@@ -285,6 +285,138 @@ class TestExperimentHarnesses:
         assert r.returncode == 0, r.stderr[-3000:]
         assert os.path.exists(os.path.join(out, "trajectory_grid.png"))
 
+    def test_formal_improved(self, workdir):
+        root, meta, data_dir = workdir
+        out = str(root / "fi_out")
+        r = run_script(
+            "scripts/inference/experiments/formal_improved.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--output_dir", out,
+                "--resolution", "32",
+                "--num_inference_steps", "3",
+                "--num_prompts", "1",
+                "--lora_scale", "1.0",
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert any(n.endswith(".hdr") for n in os.listdir(out))
+
+    def test_formal_improved_ablation(self, workdir):
+        root, meta, data_dir = workdir
+        out = str(root / "fia_out")
+        r = run_script(
+            "scripts/inference/experiments/formal_improved_ablation.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--output_dir", out,
+                "--resolution", "32",
+                "--num_prompts", "1",
+                "--steps", "2", "3",
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        for steps in (2, 3):
+            sub = os.path.join(out, f"steps_{steps}")
+            assert any(n.endswith(".hdr") for n in os.listdir(sub)), sub
+
+    def test_legacy_test(self, workdir):
+        root, meta, data_dir = workdir
+        out = str(root / "lt_out")
+        r = run_script(
+            "scripts/inference/experiments/legacy_test.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--sdr_input_path", data_dir,
+                "--output_dir", out,
+                "--resolution", "32",
+                "--num_inference_steps", "2",
+                "--max_images", "1",
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert any(n.endswith(".hdr") for n in os.listdir(out))
+
+    def test_rebuttal_r2q2_with_vae_swap(self, workdir):
+        root, meta, data_dir = workdir
+        out = str(root / "r2q2_out")
+        r = run_script(
+            "scripts/inference/experiments/rebuttal_r2q2.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--vae_ckpt", str(root / "pipe" / "vae"),
+                "--output_dir", out,
+                "--resolution", "32",
+                "--num_inference_steps", "3",
+                "--num_prompts", "1",
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert any(n.endswith(".hdr") for n in os.listdir(out))
+
+    @pytest.fixture(scope="class")
+    def two_pngs(self, workdir):
+        """The stage-2 experiment harnesses iterate every PNG in the input
+        dir (scheduler_tuning.py:51 etc.); give them a 2-image subset."""
+        root, meta, data_dir = workdir
+        sub = root / "two_pngs"
+        sub.mkdir(exist_ok=True)
+        import shutil
+
+        for name in sorted(os.listdir(data_dir))[:2]:
+            shutil.copy(os.path.join(data_dir, name), sub / name)
+        return str(sub)
+
+    def test_scheduler_tuning(self, workdir, two_pngs):
+        root, meta, data_dir = workdir
+        out = str(root / "st_out")
+        r = run_script(
+            "scripts/stage2/experiments/scheduler_tuning.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--sdr_input_path", two_pngs,
+                "--output_dir", out,
+                "--resolution", "32",
+                "--num_inference_steps", "3",
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert any(n.endswith(".hdr") for n in os.listdir(out))
+
+    def test_batch_size_sweep(self, workdir, two_pngs):
+        root, meta, data_dir = workdir
+        out = str(root / "bss_out")
+        r = run_script(
+            "scripts/stage2/experiments/batch_size_sweep.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--sdr_input_path", two_pngs,
+                "--output_dir", out,
+                "--batch_size", "2",
+                "--resolution", "32",
+                "--num_inference_steps", "2",
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert any(n.endswith(".hdr") for n in os.listdir(out))
+
+    def test_demo_inference_bf16(self, workdir, two_pngs):
+        root, meta, data_dir = workdir
+        out = str(root / "demo_out")
+        r = run_script(
+            "scripts/stage2/experiments/demo_inference_bf16.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--sdr_input_path", two_pngs,
+                "--output_dir", out,
+                "--resolution", "32",
+                "--num_inference_steps", "2",
+                "--aspect", "square",
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert any(n.endswith(".hdr") for n in os.listdir(out))
+
     def test_upconvert_hdrtv(self, workdir):
         root, meta, data_dir = workdir
         out = str(root / "hdrtv_out")
