@@ -22,6 +22,7 @@ _NATIVE_DIR = os.path.join(
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libgmdx_native.so")
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_warned = False
 
 
 def ensure_built(quiet: bool = True) -> bool:
@@ -39,7 +40,19 @@ def ensure_built(quiet: bool = True) -> bool:
         )
     except Exception:
         pass  # no toolchain: fall through to the existence check
-    return os.path.exists(_LIB_PATH)
+    ok = os.path.exists(_LIB_PATH)
+    if not ok:
+        global _warned
+        if not _warned:
+            _warned = True
+            import warnings
+
+            warnings.warn(
+                "gmdx native library unavailable (run `make -C native` with "
+                "a C++ toolchain to build it); using the Python fallbacks",
+                stacklevel=2,
+            )
+    return ok
 
 
 def lib() -> Optional[ctypes.CDLL]:

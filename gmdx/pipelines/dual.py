@@ -206,6 +206,10 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
         clip_skip: Optional[int] = None,
         output_type: str = "pil",
         return_intermediates: bool = False,
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
+        callback=None,
+        callback_steps: Optional[int] = None,
         **_ignored,  # parity: reference swallows unknown kwargs (:811)
     ):
         """Returns a (sdr, gm) tuple — postprocessed [0,1] NHWC numpy images,
@@ -226,6 +230,11 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
             negative_prompt=negative_prompt, latents=latents,
         )
         self._reject_custom_schedule(timesteps, sigmas)
+        cb_tensor_inputs = self._validate_callback_args(
+            callback_on_step_end, callback_on_step_end_tensor_inputs,
+            callback, callback_steps,
+        )
+        has_cb = callback_on_step_end is not None or callback is not None
         if key is None:
             key = jax.random.key(0)
         k_lat, k_steps = jax.random.split(key)
@@ -241,6 +250,7 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
             latents = self.prepare_latents(k_lat, batch, height, width)
         n_steps = self._num_steps(num_inference_steps)
         step_keys = jax.random.split(k_steps, n_steps)
+        capture = return_intermediates or has_cb
         out = self.denoise_dual(
             params,
             prompt_embeds,
@@ -251,13 +261,28 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
             guidance_rescale=guidance_rescale,
             eta=eta,
             step_keys=step_keys,
-            return_intermediates=return_intermediates,
+            return_intermediates=capture,
         )
-        if return_intermediates:
+        if capture:
             (sdr_lat, gm_lat), inter = out
         else:
             sdr_lat, gm_lat = out
             inter = None
+        if has_cb:
+            # The reference's `latents` local is the SDR branch
+            # (stable_diffusion_dual_unet.py:1077-1088).
+            self._emulate_step_end_callbacks(
+                callback_on_step_end=callback_on_step_end,
+                tensor_inputs=cb_tensor_inputs,
+                callback=callback,
+                callback_steps=callback_steps,
+                step_latents=inter[0],
+                timesteps=self._step_timesteps(
+                    num_inference_steps, latents.shape
+                ),
+                prompt_embeds=prompt_embeds,
+                negative_prompt_embeds=neg_embeds,
+            )
 
         if output_type == "latent":
             result = (sdr_lat, gm_lat)

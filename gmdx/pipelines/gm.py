@@ -88,6 +88,10 @@ class StableDiffusionGMPipeline:
     # safety_checker=None load path.
     safety_checker: Any = None
 
+    # Step-end-callback surface (reference stable_diffusion_gm.py:806-810,
+    # 1073-1088; tensor whitelist at stable_diffusion_dual_unet.py:200).
+    _callback_tensor_inputs = ("latents", "prompt_embeds", "negative_prompt_embeds")
+
     # -- validation (reference check_inputs, stable_diffusion_gm.py:627-694)
     @staticmethod
     def check_inputs(
@@ -349,6 +353,114 @@ class StableDiffusionGMPipeline:
                 "use num_inference_steps"
             )
 
+    # -- step-end callbacks ------------------------------------------------
+    def _validate_callback_args(
+        self, callback_on_step_end, tensor_inputs, callback, callback_steps
+    ):
+        """Validate the callback surface (reference check_inputs,
+        stable_diffusion_gm.py:643-654) and resolve the tensor-input list
+        (PipelineCallback-style objects carry their own ``tensor_inputs``,
+        reference :915-916). Returns the resolved tensor-input tuple."""
+        if callback_steps is not None and (
+            not isinstance(callback_steps, int) or callback_steps <= 0
+        ):
+            raise ValueError(
+                f"`callback_steps` has to be a positive integer but is "
+                f"{callback_steps} of type {type(callback_steps)}."
+            )
+        if callback_on_step_end is not None and hasattr(
+            callback_on_step_end, "tensor_inputs"
+        ):
+            tensor_inputs = callback_on_step_end.tensor_inputs
+        if tensor_inputs is None:
+            tensor_inputs = ("latents",)
+        bad = [k for k in tensor_inputs if k not in self._callback_tensor_inputs]
+        if bad:
+            raise ValueError(
+                f"`callback_on_step_end_tensor_inputs` has to be in "
+                f"{list(self._callback_tensor_inputs)}, but found {bad}"
+            )
+        return tuple(tensor_inputs)
+
+    def _step_timesteps(self, num_inference_steps: int, sample_shape):
+        """Per-scan-step timestep sequence (host-side, for callbacks)."""
+        if hasattr(self.scheduler, "timesteps"):
+            ts = self.scheduler.timesteps(num_inference_steps)
+        else:
+            ts = self._init_sched_state(num_inference_steps, sample_shape).timesteps
+        return np.asarray(ts)[: self._num_steps(num_inference_steps)]
+
+    def _emulate_step_end_callbacks(
+        self,
+        *,
+        callback_on_step_end,
+        tensor_inputs,
+        callback,
+        callback_steps,
+        step_latents,
+        timesteps,
+        prompt_embeds,
+        negative_prompt_embeds,
+    ):
+        """Invoke the reference's step-end callback surface over the
+        captured per-step latents (scan ys).
+
+        The reference calls ``callback_on_step_end(self, i, t,
+        callback_kwargs)`` inside its Python loop and lets the returned dict
+        REPLACE ``latents``/``prompt_embeds`` (stable_diffusion_gm.py:
+        1073-1082). gmdx's denoise loop is one compiled ``lax.scan``, so the
+        emulation is post-hoc: observer callbacks (progress, logging,
+        trajectory capture — every use in the reference tree, SURVEY.md
+        C9/C18) see exactly the reference's per-step tensors; callbacks that
+        try to MUTATE the state are rejected loudly instead of being
+        silently ignored. Legacy ``callback(step_idx, t, latents)`` (every
+        ``callback_steps`` steps, reference :1085-1088) is return-ignored by
+        the reference, i.e. observer-only by construction."""
+        n = len(timesteps)
+        pe = np.asarray(prompt_embeds)
+        ne = (
+            np.asarray(negative_prompt_embeds)
+            if negative_prompt_embeds is not None
+            else None
+        )
+        for i in range(n):
+            t = timesteps[i]
+            lat_i = np.asarray(step_latents[i])  # ys stack: (steps, B, C, H, W)
+            if callback_on_step_end is not None:
+                available = {
+                    "latents": lat_i,
+                    "prompt_embeds": pe,
+                    "negative_prompt_embeds": ne,
+                }
+                cb_kwargs = {k: available[k] for k in tensor_inputs}
+                out = callback_on_step_end(self, i, t, cb_kwargs)
+                if out:
+                    for k, ref_val in (
+                        ("latents", lat_i),
+                        ("prompt_embeds", pe),
+                        ("negative_prompt_embeds", ne),
+                    ):
+                        v = out.pop(k, None)
+                        if v is None or v is ref_val:
+                            continue
+                        if ref_val is not None and np.array_equal(
+                            np.asarray(v), ref_val
+                        ):
+                            continue
+                        raise NotImplementedError(
+                            f"callback_on_step_end returned a modified "
+                            f"'{k}': tensor-mutating step-end callbacks "
+                            f"are not supported (the gmdx denoise loop is "
+                            f"a single compiled scan; mutation would be "
+                            f"silently ignored). Use observer callbacks, "
+                            f"or return_intermediates=True for trajectory "
+                            f"access."
+                        )
+            if callback is not None and i % (callback_steps or 1) == 0:
+                # step_idx = i // scheduler.order; every gmdx scheduler has
+                # order 1 (like the reference's pinned set), so step_idx == i.
+                callback(i, t, lat_i)
+
     def _apply_lora_scale(self, params, cross_attention_kwargs):
         """The reference routes ``cross_attention_kwargs={"scale": s}`` to
         its LoRA attention processors (formal_improved.py:259-269). gmdx's
@@ -393,9 +505,19 @@ class StableDiffusionGMPipeline:
         sigmas=None,
         clip_skip: Optional[int] = None,
         output_type: str = "pil",
+        callback_on_step_end=None,
+        callback_on_step_end_tensor_inputs=None,
+        callback=None,
+        callback_steps: Optional[int] = None,
     ):
         """Full sampling call. ``output_type``: "latent" returns the GM
         latent; otherwise returns decoded images in [0, 1] NHWC (numpy).
+
+        ``callback_on_step_end`` / legacy ``callback``+``callback_steps``
+        match the reference surface (stable_diffusion_gm.py:806-810,
+        1073-1088) for observer callbacks; see
+        ``_emulate_step_end_callbacks`` for the semantics and the loud
+        rejection of tensor-mutating callbacks.
 
         ``latents=`` accepts pre-drawn initial noise for parity harnesses
         (the reference supports the same injection,
@@ -408,6 +530,11 @@ class StableDiffusionGMPipeline:
             negative_prompt=negative_prompt, latents=latents,
         )
         self._reject_custom_schedule(timesteps, sigmas)
+        cb_tensor_inputs = self._validate_callback_args(
+            callback_on_step_end, callback_on_step_end_tensor_inputs,
+            callback, callback_steps,
+        )
+        has_cb = callback_on_step_end is not None or callback is not None
         if key is None:
             key = jax.random.key(0)
         k_lat, k_steps = jax.random.split(key)
@@ -424,7 +551,7 @@ class StableDiffusionGMPipeline:
             latents = self.prepare_latents(k_lat, sdr_latent)
         n_steps = self._num_steps(num_inference_steps)
         step_keys = jax.random.split(k_steps, n_steps)
-        gm_latents = self.denoise(
+        out = self.denoise(
             params,
             sdr_latent,
             prompt_embeds,
@@ -435,7 +562,24 @@ class StableDiffusionGMPipeline:
             guidance_rescale=guidance_rescale,
             eta=eta,
             step_keys=step_keys,
+            return_intermediates=has_cb,
         )
+        if has_cb:
+            gm_latents, inter = out
+            self._emulate_step_end_callbacks(
+                callback_on_step_end=callback_on_step_end,
+                tensor_inputs=cb_tensor_inputs,
+                callback=callback,
+                callback_steps=callback_steps,
+                step_latents=inter,
+                timesteps=self._step_timesteps(
+                    num_inference_steps, latents.shape
+                ),
+                prompt_embeds=prompt_embeds,
+                negative_prompt_embeds=neg_embeds,
+            )
+        else:
+            gm_latents = out
         if output_type == "latent":
             return gm_latents
         img = self.decode_latents(params, gm_latents)

@@ -102,6 +102,20 @@ def export_hdr_outputs(output_dir: str, name: str, sdr01, gm01, qmax: float):
     )
 
 
+def take_prompts(prompt_list, num_prompts):
+    """First ``num_prompts`` entries of ``prompt_list`` (all when None).
+
+    Rejects ``num_prompts < 1`` loudly: a plain ``list[:0]`` /
+    ``list[:-2]`` slice would silently run zero (or fewer-from-the-end)
+    prompts and exit 0 with no output.
+    """
+    if num_prompts is None:
+        return prompt_list
+    if num_prompts < 1:
+        raise SystemExit(f"--num_prompts must be >= 1, got {num_prompts}")
+    return prompt_list[:num_prompts]
+
+
 # Prompt sets for the formal experiments (reference keeps fixed prompt lists
 # pinned in-script, formal_baseline.py:198-210 / formal_improved.py:201-246).
 BASELINE_PROMPTS = [

@@ -8,7 +8,8 @@ from __future__ import annotations
 
 import argparse
 
-from _common import BASELINE_PROMPTS, export_hdr_outputs, load_dual_pipeline
+from _common import (BASELINE_PROMPTS, export_hdr_outputs,
+                     load_dual_pipeline, take_prompts)
 
 
 def main():
@@ -29,7 +30,7 @@ def main():
     pipe, params = load_dual_pipeline(
         args.pretrained_model_name_or_path, scheduler="ddpm"
     )
-    prompts = BASELINE_PROMPTS[: args.num_prompts]
+    prompts = take_prompts(BASELINE_PROMPTS, args.num_prompts)
     for i, prompt in enumerate(prompts):
         sdr, gm = pipe(
             params, prompt, key=jax.random.key(args.seed),

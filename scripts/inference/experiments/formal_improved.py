@@ -15,6 +15,7 @@ from _common import (
     NEGATIVE_PROMPT,
     export_hdr_outputs,
     load_dual_pipeline,
+    take_prompts,
 )
 
 
@@ -44,7 +45,7 @@ def main():
     pipe, params = load_dual_pipeline(
         args.pretrained_model_name_or_path, scheduler="dpm++"
     )
-    prompts = IMPROVED_PROMPTS[: args.num_prompts]
+    prompts = take_prompts(IMPROVED_PROMPTS, args.num_prompts)
     for i, prompt in enumerate(prompts):
         sdr, gm = pipe(
             params, prompt, negative_prompt=NEGATIVE_PROMPT,

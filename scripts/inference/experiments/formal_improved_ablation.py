@@ -16,6 +16,7 @@ from _common import (
     NEGATIVE_PROMPT,
     export_hdr_outputs,
     load_dual_pipeline,
+    take_prompts,
 )
 
 STEP_GRID = [25, 50, 100, 250, 500, 1000]
@@ -43,7 +44,7 @@ def main():
     )
     for steps in args.steps:
         out = os.path.join(args.output_dir, f"steps_{steps}")
-        for i, prompt in enumerate(IMPROVED_PROMPTS[: args.num_prompts]):
+        for i, prompt in enumerate(take_prompts(IMPROVED_PROMPTS, args.num_prompts)):
             sdr, gm = pipe(
                 params, prompt, negative_prompt=NEGATIVE_PROMPT,
                 key=jax.random.key(args.seed),  # re-seeded per run (parity)

@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import argparse
 
-from _common import BASELINE_PROMPTS, export_hdr_outputs, load_dual_pipeline
+from _common import (BASELINE_PROMPTS, export_hdr_outputs,
+                     load_dual_pipeline, take_prompts)
 
 
 def main():
@@ -57,7 +58,7 @@ def main():
         pipe.scheduler = DPMSolverMultistepScheduler(use_karras_sigmas=True)
         print("Karras sigma grid enabled (DPM-Solver++ 2M)")
 
-    prompts = BASELINE_PROMPTS[: args.num_prompts]
+    prompts = take_prompts(BASELINE_PROMPTS, args.num_prompts)
     for i, prompt in enumerate(prompts):
         sdr, gm = pipe(
             params, prompt, key=jax.random.key(args.seed),

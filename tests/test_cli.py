@@ -318,6 +318,7 @@ class TestExperimentHarnesses:
         assert r.returncode == 0, r.stderr[-3000:]
         for steps in (2, 3):
             sub = os.path.join(out, f"steps_{steps}")
+            assert os.path.isdir(sub), sub
             assert any(n.endswith(".hdr") for n in os.listdir(sub)), sub
 
     def test_legacy_test(self, workdir):

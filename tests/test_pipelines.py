@@ -503,3 +503,155 @@ class TestCallAPIParity:
         with pytest.raises(ValueError, match="timesteps"):
             dual(p, "x", height=32, width=32, num_inference_steps=2,
                  timesteps=[999, 1], output_type="latent")
+
+
+class TestStepEndCallbacks:
+    """Reference callback surface (stable_diffusion_gm.py:806-810,898-913,
+    1073-1088): ``callback_on_step_end`` + legacy ``callback``/
+    ``callback_steps`` — observer semantics emulated post-hoc over the scan
+    ys; tensor-mutating callbacks rejected loudly."""
+
+    def _gm(self, components):
+        unet8, _, vae, text, tok, params = components
+        pipe = StableDiffusionGMPipeline(unet8, vae, text, tok, PNDMScheduler())
+        return pipe, params
+
+    def _dual(self, components):
+        unet8, unet4, vae, text, tok, params = components
+        p = dict(params)
+        p["gm_unet"] = params["unet"]
+        p["unet"] = params["unet4"]
+        pipe = StableDiffusionDualUNetPipeline(
+            unet4, vae, text, tok, PNDMScheduler(), gm_unet=unet8
+        )
+        return pipe, p
+
+    def test_gm_observer_callback_sees_every_step(self, components):
+        pipe, params = self._gm(components)
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        seen = []
+
+        def on_step_end(pl, i, t, kw):
+            assert pl is pipe
+            assert set(kw) == {"latents"}
+            seen.append((i, int(t), kw["latents"].shape))
+            return kw  # returning the kwargs unchanged is the diffusers idiom
+
+        out = pipe(params, sdr_latent, "x", key=jax.random.key(6),
+                   num_inference_steps=3, output_type="latent",
+                   callback_on_step_end=on_step_end)
+        n = PNDMScheduler().num_steps(3)
+        assert [i for i, _, _ in seen] == list(range(n))
+        ts = [t for _, t, _ in seen]
+        assert ts == sorted(ts, reverse=True) or len(set(ts)) < len(ts)
+        assert all(s == LAT for _, _, s in seen)
+        assert out.shape == LAT
+
+    def test_callback_does_not_change_result(self, components):
+        pipe, params = self._gm(components)
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        base = pipe(params, sdr_latent, "x", key=jax.random.key(6),
+                    num_inference_steps=2, output_type="latent")
+        cb = pipe(params, sdr_latent, "x", key=jax.random.key(6),
+                  num_inference_steps=2, output_type="latent",
+                  callback_on_step_end=lambda pl, i, t, kw: kw)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(cb))
+
+    def test_final_callback_latents_match_output(self, components):
+        pipe, params = self._gm(components)
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        last = {}
+
+        def on_step_end(pl, i, t, kw):
+            last["latents"] = kw["latents"]
+            return kw
+
+        out = pipe(params, sdr_latent, "x", key=jax.random.key(6),
+                   num_inference_steps=3, output_type="latent",
+                   callback_on_step_end=on_step_end)
+        np.testing.assert_array_equal(last["latents"], np.asarray(out))
+
+    def test_tensor_inputs_whitelist(self, components):
+        pipe, params = self._gm(components)
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        got = []
+
+        def on_step_end(pl, i, t, kw):
+            got.append(set(kw))
+            assert kw["prompt_embeds"].shape[-2] == 77
+            return kw
+
+        pipe(params, sdr_latent, "x", num_inference_steps=2,
+             output_type="latent", callback_on_step_end=on_step_end,
+             callback_on_step_end_tensor_inputs=["latents", "prompt_embeds"])
+        assert got and all(s == {"latents", "prompt_embeds"} for s in got)
+        with pytest.raises(ValueError, match="tensor_inputs"):
+            pipe(params, sdr_latent, "x", num_inference_steps=2,
+                 output_type="latent", callback_on_step_end=on_step_end,
+                 callback_on_step_end_tensor_inputs=["not_a_tensor"])
+
+    def test_mutating_callback_rejected(self, components):
+        pipe, params = self._gm(components)
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+
+        def mutator(pl, i, t, kw):
+            return {"latents": kw["latents"] + 1.0}
+
+        with pytest.raises(NotImplementedError, match="mutating"):
+            pipe(params, sdr_latent, "x", num_inference_steps=2,
+                 output_type="latent", callback_on_step_end=mutator)
+
+    def test_legacy_callback_and_steps(self, components):
+        pipe, params = self._gm(components)
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        seen = []
+        pipe(params, sdr_latent, "x", num_inference_steps=3,
+             output_type="latent",
+             callback=lambda i, t, lat: seen.append(i), callback_steps=2)
+        n = PNDMScheduler().num_steps(3)
+        assert seen == [i for i in range(n) if i % 2 == 0]
+        with pytest.raises(ValueError, match="callback_steps"):
+            pipe(params, sdr_latent, "x", num_inference_steps=2,
+                 output_type="latent",
+                 callback=lambda i, t, lat: None, callback_steps=0)
+
+    def test_dual_callback_sees_sdr_branch(self, components):
+        pipe, p = self._dual(components)
+        seen = []
+
+        def on_step_end(pl, i, t, kw):
+            seen.append(kw["latents"].copy())
+            return kw
+
+        (sdr_lat, gm_lat), inter = pipe(
+            p, "x", key=jax.random.key(0), height=32, width=32,
+            num_inference_steps=3, output_type="latent",
+            return_intermediates=True, callback_on_step_end=on_step_end,
+        )
+        assert len(seen) == PNDMScheduler().num_steps(3)
+        # `latents` local in the reference loop is the SDR branch
+        # (stable_diffusion_dual_unet.py:1077-1088)
+        np.testing.assert_array_equal(seen[-1], np.asarray(sdr_lat))
+        np.testing.assert_array_equal(
+            np.stack(seen), np.asarray(inter[0])
+        )
+
+    def test_pipeline_callback_object_tensor_inputs(self, components):
+        """PipelineCallback-style objects carry tensor_inputs (reference
+        :915-916)."""
+        pipe, params = self._gm(components)
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        calls = []
+
+        class CB:
+            tensor_inputs = ["latents", "negative_prompt_embeds"]
+
+            def __call__(self, pl, i, t, kw):
+                calls.append(set(kw))
+                return kw
+
+        pipe(params, sdr_latent, "x", num_inference_steps=2,
+             output_type="latent", callback_on_step_end=CB())
+        assert calls and all(
+            s == {"latents", "negative_prompt_embeds"} for s in calls
+        )
