@@ -37,25 +37,14 @@ REPEATS = int(os.environ.get("GMDX_BENCH_REPEATS", "3"))
 DTYPE = jnp.bfloat16
 
 
-def build():
-    from gmdx.models import (
-        AutoencoderKL,
-        SD15_GM_UNET_CONFIG,
-        SD15_UNET_CONFIG,
-        SD15_VAE_CONFIG,
-        UNet2DConditionModel,
-    )
-    from gmdx.pipelines import StableDiffusionDualUNetPipeline
-    from gmdx.schedulers import PNDMScheduler
+_PARAMS_CACHE = {}
 
-    sdr_unet = UNet2DConditionModel(SD15_UNET_CONFIG, dtype=DTYPE)
-    gm_unet = UNet2DConditionModel(SD15_GM_UNET_CONFIG, dtype=DTYPE)
-    vae = AutoencoderKL(SD15_VAE_CONFIG, dtype=DTYPE)
-    pipe = StableDiffusionDualUNetPipeline(
-        sdr_unet, vae, None, None, PNDMScheduler(), gm_unet=gm_unet
-    )
 
-    h = w = HEIGHT // 8
+def _init_params(sdr_unet, gm_unet, vae, h, w):
+    """One shared param set per process — kernel_psnr's extra build() calls
+    must not re-allocate 3.5 GB of weights next to the live ones."""
+    if "params" in _PARAMS_CACHE:
+        return _PARAMS_CACHE["params"]
     rng = jax.random.key(0)
     print("initializing params...", flush=True)
     # cached_export skips re-tracing on warm runs (serialized jax.export
@@ -78,6 +67,30 @@ def build():
             key="bench-init-vae",
         )["params"],
     }
+    _PARAMS_CACHE["params"] = params
+    return params
+
+
+def build(key_suffix: str = "", batch: int = BATCH):
+    from gmdx.models import (
+        AutoencoderKL,
+        SD15_GM_UNET_CONFIG,
+        SD15_UNET_CONFIG,
+        SD15_VAE_CONFIG,
+        UNet2DConditionModel,
+    )
+    from gmdx.pipelines import StableDiffusionDualUNetPipeline
+    from gmdx.schedulers import PNDMScheduler
+
+    sdr_unet = UNet2DConditionModel(SD15_UNET_CONFIG, dtype=DTYPE)
+    gm_unet = UNet2DConditionModel(SD15_GM_UNET_CONFIG, dtype=DTYPE)
+    vae = AutoencoderKL(SD15_VAE_CONFIG, dtype=DTYPE)
+    pipe = StableDiffusionDualUNetPipeline(
+        sdr_unet, vae, None, None, PNDMScheduler(), gm_unet=gm_unet
+    )
+
+    h = w = HEIGHT // 8
+    params = _init_params(sdr_unet, gm_unet, vae, h, w)
 
     def run(params, latents, cond, uncond):
         sdr_lat, gm_lat = pipe.denoise_dual(
@@ -91,11 +104,52 @@ def build():
         sdr, gm = jnp.split(both, 2, axis=0)
         return sdr, gm
 
-    latents = jax.random.normal(jax.random.key(2), (BATCH, 4, h, w))
-    cond = jax.random.normal(jax.random.key(3), (BATCH, 77, 768), DTYPE)
-    uncond = jax.random.normal(jax.random.key(4), (BATCH, 77, 768), DTYPE)
+    latents = jax.random.normal(jax.random.key(2), (batch, 4, h, w))
+    cond = jax.random.normal(jax.random.key(3), (batch, 77, 768), DTYPE)
+    uncond = jax.random.normal(jax.random.key(4), (batch, 77, 768), DTYPE)
     args = (params, latents, cond, uncond)
-    return cached_export(run, *args, key="bench-dual-run", verbose=True), args
+    return (
+        cached_export(run, *args, key="bench-dual-run" + key_suffix,
+                      verbose=True),
+        args,
+    )
+
+
+def psnr01(a, b) -> float:
+    """PSNR between two [-1,1] image batches, normalized to [0,1] peak 1."""
+    import numpy as np
+
+    a = np.clip(np.asarray(a, np.float64) / 2 + 0.5, 0, 1)
+    b = np.clip(np.asarray(b, np.float64) / 2 + 0.5, 0, 1)
+    mse = float(np.mean((a - b) ** 2))
+    return float("inf") if mse == 0 else -10.0 * float(np.log10(mse))
+
+
+def kernel_psnr() -> float:
+    """On-device kernel-path parity gate (VERDICT.md round-2 item 2): run
+    the identical dual 512^2 workload once with the production Pallas
+    kernels and once with every kernel disabled (GMDX_NO_PALLAS=1 -> the
+    jnp/XLA fallbacks the CPU parity chain validates against the PyTorch
+    reference), same injected latents/embeddings, and PSNR the decoded
+    images. Links the headline number's code path to the 40 dB
+    reference-parity chain. Batch 2, not the bench batch: the fallback's
+    XLA attention materializes fp32 CFG logits (2*B, 8, 4096, 4096) —
+    8.6 GB at batch 8, past a v5e's HBM next to the weights."""
+    fn, args = build(key_suffix="-b2", batch=2)
+    sdr, gm = fn(*args)
+    sync((sdr, gm))
+    os.environ["GMDX_NO_PALLAS"] = "1"
+    try:
+        fn2, args2 = build(key_suffix="-nopallas-b2", batch=2)
+        ref_sdr, ref_gm = fn2(*args2)
+        sync((ref_sdr, ref_gm))
+    finally:
+        del os.environ["GMDX_NO_PALLAS"]
+    val = min(psnr01(sdr, ref_sdr), psnr01(gm, ref_gm))
+    print(f"kernel-path PSNR vs GMDX_NO_PALLAS fallback: {val:.2f} dB "
+          f"(sdr {psnr01(sdr, ref_sdr):.2f}, gm {psnr01(gm, ref_gm):.2f})",
+          flush=True)
+    return val
 
 
 def main() -> None:
@@ -123,6 +177,9 @@ def main() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_s / A100_BASELINE_IMG_PER_S, 3),
     }
+    del outs  # release the throughput batches before the A/B pair
+    if os.environ.get("GMDX_BENCH_KERNEL_PSNR", "1") == "1":
+        result["kernel_psnr_db"] = round(kernel_psnr(), 2)
     print(json.dumps(result))
 
 

@@ -25,10 +25,17 @@ Because the rules match on *path names* (``…/to_q/kernel``), they apply
 unchanged to any tree that embeds the param tree — optax Adam ``mu``/``nu``
 states and the EMA copy — so the whole train state shards consistently.
 
-Note: the Pallas fast-path kernels are opaque custom calls to the SPMD
-partitioner; a TP mesh currently pairs with the XLA compute path
-(``GMDX_NO_PALLAS=1``) — the jnp fallbacks every kernel dispatch carries.
-DP remains the throughput layout; TP is the latency lever.
+Pallas kernels under TP: the kernels are opaque custom calls to the SPMD
+partitioner, so they cannot be auto-partitioned — but head-parallel
+attention composes exactly with the column-parallel q/k/v layout. Trace
+the pipeline inside ``gmdx.dist.tpctx.tp_kernel_context(mesh)`` and the
+attention dispatch wraps its kernel call in a per-shard ``jax.shard_map``
+over the ``model`` axis (whole heads per shard, zero extra communication),
+keeping the flash/KV-resident fast path live under TP. The non-attention
+kernels (Winograd/GEGLU/fused-GN) fuse across the row-parallel psum
+boundary and stay on the XLA path inside the context (their dispatch
+checks ``tpctx.active()``). DP remains the throughput layout; TP is the
+latency lever.
 """
 
 from __future__ import annotations

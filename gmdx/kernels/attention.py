@@ -87,6 +87,52 @@ def attention_packed(
     d = q.shape[-1] // heads
     if scale is None:
         scale = d**-0.5
+    tp = _tp_route(q, k, v, heads)
+    if tp is not None:
+        ctx, batch_spec = tp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(batch_spec, None, ctx.axis)
+        local_heads = heads // ctx.size
+        # Head-parallel: whole heads per model shard (column-parallel
+        # to_q/k/v lay inner = H*D head-major, gmdx/dist/tp.py:18-20), so
+        # each shard runs the SAME kernel dispatch over its head slice with
+        # zero communication — the Pallas fast path survives the TP mesh
+        # instead of falling back to XLA behind an all-gather
+        # (VERDICT.md round-2 item 5).
+        return shard_map(
+            lambda ql, kl, vl: _attention_packed_local(
+                ql, kl, vl, local_heads, scale
+            ),
+            mesh=ctx.mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+        )(q, k, v)
+    return _attention_packed_local(q, k, v, heads, scale)
+
+
+def _tp_route(q, k, v, heads):
+    """(ctx, batch_spec) when a TP kernel context applies to this call."""
+    from gmdx.dist.tpctx import active
+
+    ctx = active()
+    if ctx is None or ctx.size <= 1:
+        return None
+    if heads % ctx.size or q.shape[-1] % ctx.size:
+        return None
+    if k.shape[-1] != q.shape[-1] or v.shape[-1] != q.shape[-1]:
+        return None
+    batch_spec = None
+    if ctx.data_axis is not None:
+        if q.shape[0] % ctx.mesh.shape[ctx.data_axis]:
+            return None
+        batch_spec = ctx.data_axis
+    return ctx, batch_spec
+
+
+def _attention_packed_local(q, k, v, heads, scale):
+    d = q.shape[-1] // heads
     # Long-KEY dispatch, same rule as the 4D path. A long-QUERY rule that
     # also sent 4096-query/77-key cross-attention through the ONLINE-softmax
     # BSC kernel measured 0.7676 vs 0.8311 img/s on the dual bench — the

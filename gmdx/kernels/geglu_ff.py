@@ -42,6 +42,8 @@ import functools
 import math
 import os
 
+from gmdx.dist.tpctx import active as _tp_active
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -455,6 +457,8 @@ def geglu_ff_ln(
     c = x.shape[-1]
     use_pallas = (
         os.environ.get("GMDX_FUSED_FF", "1") == "1"
+        and os.environ.get("GMDX_NO_PALLAS", "0") != "1"
+        and _tp_active() is None
         and c in _TOKEN_BLOCK
         and w1.shape[1] % 256 == 0
         and (interpret or jax.default_backend() == "tpu")
@@ -585,6 +589,8 @@ def add_layer_norm(
     c = x.shape[-1]
     use_pallas = (
         os.environ.get("GMDX_FUSED_FF", "1") == "1"
+        and os.environ.get("GMDX_NO_PALLAS", "0") != "1"
+        and _tp_active() is None
         and c in _ADDLN_BLOCK
         and (interpret or jax.default_backend() == "tpu")
     )
@@ -612,6 +618,8 @@ def geglu_ff(
     c = x.shape[-1]
     use_pallas = (
         os.environ.get("GMDX_FUSED_FF", "1") == "1"
+        and os.environ.get("GMDX_NO_PALLAS", "0") != "1"
+        and _tp_active() is None
         and c in _TOKEN_BLOCK
         and w1.shape[1] % 256 == 0  # even split into 128-aligned halves
         and (interpret or jax.default_backend() == "tpu")

@@ -59,6 +59,8 @@ from __future__ import annotations
 import functools
 import os
 
+from gmdx.dist.tpctx import active as _tp_active
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -1104,7 +1106,9 @@ def winograd_eligible(
     F(4x4) dispatches need a (1, 3) border — a pre-arranged 1-px pad would
     cost an extra XLA pad copy, so they report False here and the kernel
     pads internally from the raw image instead."""
-    if os.environ.get("GMDX_WINOGRAD", "1") != "1":
+    if os.environ.get("GMDX_WINOGRAD", "1") != "1" or os.environ.get(
+        "GMDX_NO_PALLAS", "0"
+    ) == "1" or _tp_active() is not None:
         return False
     if len(shape) != 4:
         return False
@@ -1166,7 +1170,9 @@ def winograd_conv3x3(
     ``GMDX_WINOGRAD=0`` disables globally; ``GMDX_WINOGRAD_M`` forces a
     tile size (see :func:`_select_tiling`).
     """
-    if os.environ.get("GMDX_WINOGRAD", "1") != "1":
+    if os.environ.get("GMDX_WINOGRAD", "1") != "1" or os.environ.get(
+        "GMDX_NO_PALLAS", "0"
+    ) == "1" or _tp_active() is not None:
         return None
     if kernel.shape[:2] != (3, 3):
         return None

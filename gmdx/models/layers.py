@@ -17,6 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from gmdx.dist.tpctx import active as _tp_active
 from gmdx.kernels import dot_product_attention
 from gmdx.kernels.attention import attention_packed
 
@@ -138,6 +139,8 @@ class GroupNorm(nn.Module):
         if (
             x.ndim == 4
             and os.environ.get("GMDX_FUSED_GN", "1") != "0"
+            and os.environ.get("GMDX_NO_PALLAS", "0") != "1"
+            and _tp_active() is None
             and jax.default_backend() == "tpu"
         ):
             from gmdx.kernels.groupnorm import fused_group_norm_silu
@@ -509,6 +512,8 @@ class ResnetBlock2D(nn.Module):
             itemsize = jnp.dtype(self.dtype).itemsize
             return (
                 os.environ.get("GMDX_FUSED_GN", "1") != "0"
+                and os.environ.get("GMDX_NO_PALLAS", "0") != "1"
+            and _tp_active() is None
                 and jax.default_backend() == "tpu"
                 and gn_onepass_eligible(shape, itemsize)
                 and winograd_eligible(shape, out_ch, itemsize)

@@ -232,10 +232,16 @@ def upconvert_sdr_to_hdrtv(
     guidance_scale: float = 7.5,
     conditioning_scale: float = 1.0,
     qmax: float = 99.0,
+    prompt_embeds: Optional[Array] = None,
+    negative_prompt_embeds: Optional[Array] = None,
 ):
     """SDR→HDRTV: condition the SDR branch on the input frame, synthesize the
     gain map jointly, return (sdr01, gm01, hdr) numpy arrays (BT.2020-ready;
-    callers export via gmdx.io.save_hdr_image)."""
+    callers export via gmdx.io.save_hdr_image).
+
+    ``prompt_embeds``/``negative_prompt_embeds`` bypass the tokenizer/text
+    encoder (same passthrough as the pipelines' ``__call__``) — used by
+    tokenizer-less setups like the bench harness."""
     import numpy as np
 
     from gmdx.ops import apply_gm_to_sdr
@@ -251,6 +257,8 @@ def upconvert_sdr_to_hdrtv(
         width=w,
         num_inference_steps=num_inference_steps,
         guidance_scale=guidance_scale,
+        prompt_embeds=prompt_embeds,
+        negative_prompt_embeds=negative_prompt_embeds,
     )
     # Resize the gain map to the input resolution before Eq.(1) — the
     # reference's own batched experiment does the same

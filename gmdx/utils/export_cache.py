@@ -127,13 +127,14 @@ def cached_export(
         return jax.jit(fn)
 
     path = os.path.join(cdir, f"{key}-{_full_key(key, args, kwargs)}.jaxexp")
+    call = None
     if os.path.exists(path):
         try:
             with open(path, "rb") as f:
                 exp = jax_export.deserialize(f.read())
             if verbose:
                 print(f"export cache hit: {path}", flush=True)
-            return exp.call
+            call = exp.call
         except Exception as e:  # stale/corrupt artifact -> re-trace
             if verbose:
                 print(f"export cache unreadable ({e!r}); re-tracing", flush=True)
@@ -142,14 +143,77 @@ def cached_export(
             except OSError:
                 pass
 
-    exp = jax_export.export(jax.jit(fn))(*args, **kwargs)
+    if call is None:
+        exp = jax_export.export(jax.jit(fn))(*args, **kwargs)
+        try:
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(exp.serialize())
+            os.replace(tmp, path)
+            if verbose:
+                print(f"export cache write: {path}", flush=True)
+        except OSError:
+            pass
+        call = exp.call
+
+    # Executable tier (TPU): the XLA persistent cache removes compile cost
+    # only when ITS key matches — and that key bakes in compile options
+    # (device assignment, flags) that shift between sessions/hosts on the
+    # tunneled backend, which is how the round-2 driver paid a 590 s
+    # compile against a warm cache (VERDICT.md round-2 item 4, weak #5).
+    # So AOT-compile here and serialize the *executable* keyed by OUR
+    # stable key (source + avals + backend); a warm run deserializes and
+    # never calls the compiler. Any load failure (jaxlib/runtime change)
+    # falls back to a fresh compile and rewrites the artifact.
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("GMDX_EXE_CACHE", "1") == "1"
+    ):
+        exe_path = path[: -len(".jaxexp")] + ".jaxexe"
+        loaded = _load_exe(exe_path, verbose) if os.path.exists(exe_path) else None
+        if loaded is not None:
+            return loaded
+        compiled = jax.jit(call).lower(*args, **kwargs).compile()
+        _store_exe(exe_path, compiled, verbose)
+        return compiled
+    return call
+
+
+def _load_exe(exe_path: str, verbose: bool):
+    import pickle
+
+    from jax.experimental.serialize_executable import deserialize_and_load
+
     try:
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(exp.serialize())
-        os.replace(tmp, path)
+        with open(exe_path, "rb") as f:
+            payload, in_tree, out_tree = pickle.load(f)
+        loaded = deserialize_and_load(payload, in_tree, out_tree)
         if verbose:
-            print(f"export cache write: {path}", flush=True)
-    except OSError:
-        pass
-    return exp.call
+            print(f"exe cache hit: {exe_path}", flush=True)
+        return loaded
+    except Exception as e:  # runtime/jaxlib drift -> recompile
+        if verbose:
+            print(f"exe cache unreadable ({e!r}); recompiling", flush=True)
+        try:
+            os.remove(exe_path)
+        except OSError:
+            pass
+        return None
+
+
+def _store_exe(exe_path: str, compiled, verbose: bool) -> None:
+    import pickle
+
+    from jax.experimental.serialize_executable import serialize
+
+    try:
+        payload, in_tree, out_tree = serialize(compiled)
+        tmp = f"{exe_path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump((payload, in_tree, out_tree), f)
+        os.replace(tmp, exe_path)
+        if verbose:
+            print(f"exe cache write: {exe_path}", flush=True)
+    except Exception as e:
+        if verbose:
+            print(f"exe cache write failed ({e!r})", flush=True)

@@ -214,4 +214,13 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
     # BENCH_r01.json).
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # Forensics for cross-session misses (the round-2 driver recompiled
+    # against a warm dir — the XLA key bakes in per-session compile
+    # options): log WHY a lookup missed so the next occurrence is
+    # attributable. The executable tier in gmdx/utils/export_cache.py is
+    # the actual fix; this is the tripwire.
+    try:
+        jax.config.update("jax_explain_cache_misses", True)
+    except Exception:
+        pass
     return path

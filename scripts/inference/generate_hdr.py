@@ -131,11 +131,21 @@ def main():
             )
         if args.tp_size > 1:
             from gmdx.dist import tp_shard_params
+            from gmdx.dist.tpctx import tp_kernel_context
 
             mesh = make_mesh(
                 None, ("data", "model"), shape=(n // width, width)
             )
             params = tp_shard_params(mesh, params)
+            # Keep the Pallas attention fast path live under TP: traces
+            # created while the context is active wrap their attention
+            # kernel calls in a head-parallel shard_map over the model
+            # axis (gmdx/dist/tpctx.py). Entered for the remainder of
+            # main() — every pipeline trace below happens under TP.
+            import contextlib
+
+            _stack = contextlib.ExitStack()
+            _stack.enter_context(tp_kernel_context(mesh))
         else:
             # Params stay replicated; the parallelism is the INPUT
             # placement — the pipeline's jitted ops inherit the H split

@@ -1,0 +1,393 @@
+"""Measured entries for driver configs 1-3 and the 1024^2 paths (config 5).
+
+BASELINE.md lists five benchmark configs; bench.py covers config 4 (the
+headline dual-UNet 512^2 throughput). This harness measures the rest on the
+chip and records machine-readable results (VERDICT.md round-2 items 3 & 8):
+
+  1. single-UNet SDR->gain-map `generate_hdr` flow: 512^2, PNDM 50 steps
+     (reference scripts/inference/generate_hdr.py:196-282) — batch 1 and 8.
+  2. Stage-1 tone-map + exposure preprocessing over a synthetic parquet
+     batch, host decode -> device transfer -> jitted op chain included
+     (reference scripts/stage1/train_vqgan_lora.py:1104-1141).
+  3. VAE gain-map encode/decode + Eq.(1) qmax=99 + BT.2020 .hdr export
+     (reference scripts/stage1/train_vqgan_lora.py:240-268, driver config 3).
+  5a. dual-UNet text-to-HDR at 1024^2 (bench.py with GMDX_BENCH_RES=1024).
+  5b. ControlNet SDR->HDRTV up-conversion at 1024^2
+      (gmdx/pipelines/controlnet.py — new capability, reference README only).
+
+Each config runs in its own subprocess (fresh HBM, independent compile-cache
+reuse); results merge into BENCH_extra.json at the repo root.
+
+Usage:  python scripts/tools/bench_extra.py            # all configs
+        python scripts/tools/bench_extra.py --config 1 # one config, inline
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, REPO)
+OUT_PATH = os.path.join(REPO, "BENCH_extra.json")
+
+STEPS = 50
+RES = 512
+
+
+def _models(dtype, with_gm_unet=True, with_sdr_unet=False):
+    import jax
+    import jax.numpy as jnp
+
+    from gmdx.models import (
+        AutoencoderKL,
+        SD15_GM_UNET_CONFIG,
+        SD15_UNET_CONFIG,
+        SD15_VAE_CONFIG,
+        UNet2DConditionModel,
+    )
+    from gmdx.utils import cached_export
+
+    def run_cached(fn, *args, key):
+        return cached_export(fn, *args, key=key)(*args)
+
+    rng = jax.random.key(0)
+    out = {"params": {}}
+    vae = AutoencoderKL(SD15_VAE_CONFIG, dtype=dtype)
+    out["vae"] = vae
+    out["params"]["vae"] = run_cached(
+        vae.init, rng, jnp.zeros((1, 3, 64, 64)), jax.random.key(1),
+        key="bench-init-vae",
+    )["params"]
+    if with_gm_unet:
+        gm_unet = UNet2DConditionModel(SD15_GM_UNET_CONFIG, dtype=dtype)
+        out["gm_unet"] = gm_unet
+        out["params"]["gm_unet"] = run_cached(
+            gm_unet.init, rng, jnp.zeros((1, 8, 64, 64)), jnp.array(1.0),
+            jnp.zeros((1, 77, 768)), key="bench-init-gm-unet",
+        )["params"]
+    if with_sdr_unet:
+        sdr_unet = UNet2DConditionModel(SD15_UNET_CONFIG, dtype=dtype)
+        out["unet"] = sdr_unet
+        out["params"]["unet"] = run_cached(
+            sdr_unet.init, rng, jnp.zeros((1, 4, 64, 64)), jnp.array(1.0),
+            jnp.zeros((1, 77, 768)), key="bench-init-unet",
+        )["params"]
+    return out
+
+
+def config1() -> dict:
+    """Single-UNet generate_hdr flow: encode SDR -> 50-step GM denoise with
+    CFG -> decode SDR+GM. The per-image device pipeline of driver config 1."""
+    import jax
+    import jax.numpy as jnp
+
+    from gmdx.pipelines import StableDiffusionGMPipeline
+    from gmdx.schedulers import PNDMScheduler
+    from gmdx.utils import cached_export, sync
+
+    dtype = jnp.bfloat16
+    m = _models(dtype)
+    pipe = StableDiffusionGMPipeline(
+        m["gm_unet"], m["vae"], None, None, PNDMScheduler()
+    )
+    params = {"unet": m["params"]["gm_unet"], "vae": m["params"]["vae"]}
+
+    results = {}
+    for batch in (1, 8):
+        sdr_img = jax.random.uniform(
+            jax.random.key(2), (batch, 3, RES, RES)
+        ) * 2 - 1
+        cond = jax.random.normal(jax.random.key(3), (batch, 77, 768), dtype)
+        uncond = jax.random.normal(jax.random.key(4), (batch, 77, 768), dtype)
+
+        def run(params, sdr_img, cond, uncond):
+            sdr_lat = pipe.encode_sdr(params, sdr_img, jax.random.key(5))
+            noise = pipe.prepare_latents(jax.random.key(6), sdr_lat)
+            gm_lat = pipe.denoise(
+                params, sdr_lat, cond, uncond, noise,
+                num_inference_steps=STEPS,
+            )
+            both = pipe.decode_latents(
+                params, jnp.concatenate([sdr_lat, gm_lat], axis=0)
+            )
+            return jnp.split(both, 2, axis=0)
+
+        args = (params, sdr_img, cond, uncond)
+        fn = cached_export(run, *args, key=f"bx1-gm-b{batch}", verbose=True)
+        sync(fn(*args))  # compile + warmup
+        reps = 3
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(reps)]
+        sync(outs[-1])
+        per = (time.perf_counter() - t0) / reps
+        results[f"batch{batch}"] = round(batch / per, 4)
+    return {
+        "config": 1,
+        "metric": f"single-UNet SDR->GM generate_hdr {RES}^2 PNDM-{STEPS}",
+        "unit": "images/sec/chip",
+        "value": results["batch8"],
+        "batch1": results["batch1"],
+        "batch8": results["batch8"],
+    }
+
+
+def config2() -> dict:
+    """Stage-1 preprocessing throughput over a synthetic parquet batch:
+    host decode (native thread pool) -> device put -> exposure-clip
+    augmentation -> Eq.(1) qmax=49 -> all three TMOs + gamut compress —
+    the per-step data work of the Stage-1 hot loop."""
+    import io as _io
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from gmdx.data import ParquetImageDataset, make_dataloader
+    from gmdx.data.parquet import write_parquet_dataset
+    from gmdx.models.tokenizer import CLIPTokenizer
+    from gmdx.ops import (
+        apply_gm_to_sdr,
+        fix_mulog_tmo,
+        gamut_compress,
+        hard_clip_tmo,
+        linear_scale_tmo,
+        random_exposure_adjust,
+    )
+    from gmdx.utils import sync
+
+    # Synthetic 512^2 MSCOCO-shaped rows: PNG-encoded SDR files + GM bytes.
+    tmp = "/tmp/gmdx_bx2"
+    os.makedirs(tmp, exist_ok=True)
+    rng = np.random.default_rng(0)
+    n_rows = 64
+    sdr_paths, gm_bytes, texts = [], [], []
+    for i in range(n_rows):
+        arr = rng.integers(0, 256, (RES, RES, 3), dtype=np.uint8)
+        p = os.path.join(tmp, f"sdr_{i}.png")
+        if not os.path.exists(p):
+            Image.fromarray(arr).save(p)
+        buf = _io.BytesIO()
+        Image.fromarray(arr[::-1]).save(buf, format="PNG")
+        sdr_paths.append(p)
+        gm_bytes.append(buf.getvalue())
+        texts.append(f"synthetic scene {i}")
+    pq_path = os.path.join(tmp, "data.parquet")
+    write_parquet_dataset(pq_path, sdr_paths, gm_bytes, texts)
+
+    batch = 8
+
+    @jax.jit
+    def device_chain(key, sdr, gm):
+        # the Stage-1 per-step tensor work (train_vqgan_lora.py:1104-1141)
+        clip01 = jnp.clip(sdr / 2 + 0.5, 0.0, 1.0)
+        ldr, _ = random_exposure_adjust(key, clip01)
+        gm01 = jnp.clip(gm / 2 + 0.5, 0.0, 1.0)
+        hdr = apply_gm_to_sdr(gm01, ldr, qmax=49.0)
+        outs = [
+            fix_mulog_tmo(hdr, 49.0),
+            hard_clip_tmo(hdr, 49.0),
+            linear_scale_tmo(hdr, 49.0),
+        ]
+        return gamut_compress(sum(outs) / 3.0)
+
+    loader = make_dataloader(
+        ParquetImageDataset(pq_path), CLIPTokenizer.tiny(),
+        batch_size=batch, resolution=RES, num_epochs=None, seed=0,
+    )
+    key = jax.random.key(0)
+    # warmup (compile)
+    b = next(loader)
+    sync(device_chain(key, jnp.asarray(b["pixel_values"]),
+                      jnp.asarray(b["gainmap_values"])))
+    n_batches = 12
+    t0 = time.perf_counter()
+    last = None
+    for i in range(n_batches):
+        b = next(loader)  # host decode+preprocess (native thread pool)
+        last = device_chain(
+            jax.random.fold_in(key, i),
+            jnp.asarray(b["pixel_values"]),  # host->device
+            jnp.asarray(b["gainmap_values"]),
+        )
+    sync(last)
+    per = (time.perf_counter() - t0) / n_batches
+    return {
+        "config": 2,
+        "metric": f"stage-1 preprocessing (parquet decode + exposure aug + "
+                  f"Eq.(1) + 3 TMOs + gamut) {RES}^2 batch {batch}",
+        "unit": "images/sec",
+        "value": round(batch / per, 2),
+    }
+
+
+def config3() -> dict:
+    """LoRA-VAE gain-map round trip: encode -> sample -> decode -> sigmoid
+    -> Eq.(1) qmax=99 -> Radiance .hdr export (native RGBE writer). The
+    log_validation chain of driver config 3."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gmdx.io import save_hdr_image
+    from gmdx.ops import apply_gm_to_sdr
+    from gmdx.utils import cached_export, sync
+
+    dtype = jnp.bfloat16
+    m = _models(dtype, with_gm_unet=False)
+    vae, params = m["vae"], m["params"]
+
+    def run(params, img):
+        post = vae.apply({"params": params["vae"]}, img, method=vae.encode)
+        z = post.sample(jax.random.key(7)) * vae.config.scaling_factor
+        dec = vae.apply(
+            {"params": params["vae"]}, z / vae.config.scaling_factor,
+            method=vae.decode,
+        )
+        gm01 = jax.nn.sigmoid(dec.astype(jnp.float32))
+        sdr01 = jnp.clip(img / 2 + 0.5, 0.0, 1.0).astype(jnp.float32)
+        return apply_gm_to_sdr(gm01, sdr01, qmax=99.0, clip_output=False)
+
+    img = jax.random.uniform(jax.random.key(8), (1, 3, RES, RES)) * 2 - 1
+    args = (params, img)
+    fn = cached_export(run, *args, key="bx3-vae-roundtrip", verbose=True)
+    sync(fn(*args))
+    reps = 10
+    t0 = time.perf_counter()
+    hdrs = [fn(*args) for _ in range(reps)]
+    sync(hdrs[-1])
+    device_per = (time.perf_counter() - t0) / reps
+    # export on host (native RGBE writer) — part of the chain's wall time
+    hdr_np = np.asarray(hdrs[-1][0]).transpose(1, 2, 0)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        save_hdr_image(f"/tmp/gmdx_bx3_{i % 2}.hdr", hdr_np, qmax=99.0)
+    export_per = (time.perf_counter() - t0) / reps
+    total = device_per + export_per
+    return {
+        "config": 3,
+        "metric": f"VAE GM encode/decode + Eq.(1) qmax=99 + .hdr export, {RES}^2",
+        "unit": "sec/image",
+        "value": round(total, 4),
+        "device_sec": round(device_per, 4),
+        "hdr_export_sec": round(export_per, 4),
+    }
+
+
+def config5a() -> dict:
+    """1024^2 dual-UNet text-to-HDR — bench.py with GMDX_BENCH_RES=1024."""
+    env = dict(os.environ)
+    env.update(
+        GMDX_BENCH_RES="1024", GMDX_BENCH_BATCH="1",
+        GMDX_BENCH_REPEATS="3", GMDX_BENCH_KERNEL_PSNR="0",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=7200, cwd=REPO,
+    )
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+    return {
+        "config": "5a",
+        "metric": r["metric"],
+        "unit": r["unit"],
+        "value": r["value"],
+        "sec_per_frame": round(1.0 / r["value"], 2) if r["value"] else None,
+    }
+
+
+def config5b() -> dict:
+    """ControlNet SDR->HDRTV up-conversion at 1024^2, 50 steps, 1 frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from gmdx.pipelines.controlnet import (
+        StableDiffusionControlNetHDRPipeline,
+        upconvert_sdr_to_hdrtv,
+    )
+    from gmdx.schedulers import PNDMScheduler
+    from gmdx.utils import sync
+
+    dtype = jnp.bfloat16
+    m = _models(dtype, with_sdr_unet=True)
+    pipe = StableDiffusionControlNetHDRPipeline(
+        m["unet"], m["vae"], None, None, PNDMScheduler(),
+        gm_unet=m["gm_unet"],
+    )
+    params = dict(m["params"])
+    # zero-adapter controlnet = encoder copy of the unet (the CLI default)
+    params["controlnet"] = params["unet"]
+
+    res = 1024
+    sdr01 = jax.random.uniform(jax.random.key(9), (1, 3, res, res))
+    cond = jax.random.normal(jax.random.key(10), (1, 77, 768), dtype)
+    uncond = jax.random.normal(jax.random.key(11), (1, 77, 768), dtype)
+
+    def run_once():
+        t0 = time.perf_counter()
+        out = upconvert_sdr_to_hdrtv(
+            pipe, params, sdr01,
+            key=jax.random.key(12), num_inference_steps=STEPS,
+            prompt_embeds=cond, negative_prompt_embeds=uncond,
+        )
+        sync(out[2])
+        return time.perf_counter() - t0
+
+    run_once()  # compile + warmup
+    secs = min(run_once() for _ in range(2))
+    return {
+        "config": "5b",
+        "metric": f"ControlNet SDR->HDRTV up-conversion {res}^2 {STEPS}-step",
+        "unit": "sec/frame",
+        "value": round(secs, 2),
+    }
+
+
+CONFIGS = {"1": config1, "2": config2, "3": config3, "5a": config5a,
+           "5b": config5b}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=sorted(CONFIGS), default=None)
+    args = ap.parse_args()
+
+    if args.config is not None:
+        from gmdx.utils import enable_compilation_cache
+
+        enable_compilation_cache()
+        entry = CONFIGS[args.config]()
+        print("RESULT " + json.dumps(entry))
+        _merge(entry)
+        return
+
+    for name in ("1", "2", "3", "5a", "5b"):
+        print(f"=== config {name} ===", flush=True)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--config", name],
+            timeout=7200, cwd=REPO,
+        )
+        if proc.returncode != 0:
+            print(f"config {name} FAILED (rc {proc.returncode})", flush=True)
+    with open(OUT_PATH) as f:
+        print(f.read())
+
+
+def _merge(entry: dict) -> None:
+    data = {}
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            data = json.load(f)
+    data[str(entry["config"])] = entry
+    with open(OUT_PATH, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -308,3 +308,95 @@ def test_gm_pipeline_spatial_input_matches_replicated():
         jax.device_put(sdr_in, spatial_sharding(mesh, 4)),
     )
     np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-5)
+
+
+class TestTPKernelContext:
+    """tp_kernel_context routes attention_packed through a head-parallel
+    shard_map over the model axis (gmdx/dist/tpctx.py) so the Pallas fast
+    path composes with TP instead of silently reverting to XLA behind
+    all-gathers (VERDICT round-2 item 5). On the CPU mesh the per-shard
+    dispatch lands on the XLA fallback — the test pins the shard_map
+    head-slicing math (TP=2 == TP=1), which is dispatch-independent."""
+
+    def _qkv(self, key, b, sq, sk, c):
+        kq, kk, kv = jax.random.split(jax.random.key(key), 3)
+        return (
+            jax.random.normal(kq, (b, sq, c), jnp.float32),
+            jax.random.normal(kk, (b, sk, c), jnp.float32),
+            jax.random.normal(kv, (b, sk, c), jnp.float32),
+        )
+
+    def test_self_attention_matches_no_tp(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the conftest's 8-device CPU mesh")
+        from gmdx.dist.tpctx import tp_kernel_context
+        from gmdx.kernels.attention import attention_packed
+
+        q, k, v = self._qkv(0, 4, 64, 64, 64)
+        ref = np.asarray(attention_packed(q, k, v, heads=8))
+        mesh = make_mesh(8, ("data", "model"), shape=(4, 2))
+        with tp_kernel_context(mesh):
+            got = np.asarray(attention_packed(q, k, v, heads=8))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    def test_cross_attention_matches_no_tp(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the conftest's 8-device CPU mesh")
+        from gmdx.dist.tpctx import tp_kernel_context
+        from gmdx.kernels.attention import attention_packed
+
+        q, k, v = self._qkv(1, 4, 64, 77, 64)
+        ref = np.asarray(attention_packed(q, k, v, heads=8))
+        mesh = make_mesh(8, ("data", "model"), shape=(4, 2))
+        with tp_kernel_context(mesh):
+            got = np.asarray(attention_packed(q, k, v, heads=8))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    def test_indivisible_heads_fall_back(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the conftest's 8-device CPU mesh")
+        from gmdx.dist.tpctx import tp_kernel_context
+        from gmdx.kernels.attention import attention_packed
+
+        q, k, v = self._qkv(2, 4, 32, 32, 63)  # 63 = 7 heads * 9: 7 % 2 != 0
+        ref = np.asarray(attention_packed(q, k, v, heads=7))
+        mesh = make_mesh(8, ("data", "model"), shape=(4, 2))
+        with tp_kernel_context(mesh):
+            got = np.asarray(attention_packed(q, k, v, heads=7))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    def test_unet_forward_under_kernel_context(self, tiny_unet):
+        """Full TP-sharded UNet forward traced INSIDE the kernel context —
+        shard_map islands inside the GSPMD-partitioned jit."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the conftest's 8-device CPU mesh")
+        from gmdx.dist import shard_batch
+        from gmdx.dist.tpctx import tp_kernel_context
+
+        unet, params = tiny_unet
+        x = jax.random.normal(jax.random.key(9), (4, 4, 8, 8), jnp.float32)
+        t = jnp.array(7.0)
+        ctx = jax.random.normal(jax.random.key(10), (4, 77, 32), jnp.float32)
+        fwd = jax.jit(lambda p, a, b, c: unet.apply({"params": p}, a, b, c))
+        ref = np.asarray(fwd(params, x, t, ctx))
+
+        mesh = make_mesh(8, ("data", "model"), shape=(4, 2))
+        sharded = tp_shard_params(mesh, params)
+        xb, ctxb = shard_batch(mesh, (x, ctx))
+        fwd2 = jax.jit(lambda p, a, b, c: unet.apply({"params": p}, a, b, c))
+        with tp_kernel_context(mesh):
+            out = np.asarray(fwd2(sharded, xb, t, ctxb))
+        np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-5)
+
+    def test_non_attention_kernels_disabled_under_tp(self):
+        from gmdx.dist.tpctx import tp_kernel_context
+        from gmdx.kernels.winograd import winograd_eligible
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >= 2 devices for a model axis")
+        shape, out_ch = (8, 64, 64, 64), 64
+        baseline = winograd_eligible(shape, out_ch, 2)
+        mesh = make_mesh(2, ("data", "model"), shape=(1, 2))
+        with tp_kernel_context(mesh):
+            assert winograd_eligible(shape, out_ch, 2) is False
+        assert winograd_eligible(shape, out_ch, 2) == baseline
