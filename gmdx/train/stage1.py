@@ -308,8 +308,13 @@ def make_disc_step(
                 jax.nn.relu(1.0 + fake_out) + jax.nn.relu(1.0 - real_out)
             )
             g = grad_images.reshape(grad_images.shape[0], -1)
+            # safe_norm, not jnp.linalg.norm: when D is momentarily constant
+            # w.r.t. its input (e.g. a saturated sigmoid head at init),
+            # ||g|| = 0 and sqrt's gradient is NaN — one poisoned disc step
+            # then NaNs the whole run. The reference's torch `.norm(2,dim=1)`
+            # has a GUARDED subgradient (exactly 0 at 0); safe_norm matches.
             gp = config.gp_weight * jnp.mean(
-                (jnp.linalg.norm(g, axis=1) - 1.0) ** 2
+                (optax.safe_norm(g, 0.0, axis=1) - 1.0) ** 2
             )
             return hinge + gp, {"hinge": hinge, "gp": gp}
 

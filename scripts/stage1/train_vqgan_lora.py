@@ -432,8 +432,22 @@ def main():
         if global_step % args.log_steps == 0 or global_step == 1:
             dt = time.time() - t_last
             t_last = time.time()
-            scalars = {f"step_{tag}_loss": float(m[f"{tag[:4] if tag == 'gen' else 'disc'}_loss"])
-                       if False else float(m.get("gen_loss", m.get("disc_loss", 0.0)))}
+            scalars = {
+                f"step_{tag}_loss": float(
+                    m.get("gen_loss", m.get("disc_loss", 0.0))
+                )
+            }
+            # Every auxiliary SCALAR the step emits (adaptive_weight,
+            # recon/perc/adv split, penalty) — the reference logs the loss
+            # split and grad norms too (train_vqgan_lora.py:1235-1244).
+            # Non-scalar entries (nested grad-norm dicts) are skipped.
+            for k, v in m.items():
+                if k in ("gen_loss", "disc_loss"):
+                    continue
+                try:
+                    scalars[k] = float(v)
+                except (TypeError, ValueError):
+                    pass
             scalars["samples_per_sec"] = (
                 args.log_steps * args.train_batch_size * n_dev / dt
                 if global_step > 1 else 0.0

@@ -285,6 +285,41 @@ class TestExperimentHarnesses:
         assert r.returncode == 0, r.stderr[-3000:]
         assert os.path.exists(os.path.join(out, "trajectory_grid.png"))
 
+    def test_rebuttal_visual_delegate(self, workdir):
+        """C18's named harness delegates to visualize_latents (same flags,
+        reference scripts/inference/experiments/rebuttal_visual.py:229)."""
+        root, meta, data_dir = workdir
+        out = str(root / "rv_out")
+        r = run_script(
+            "scripts/inference/experiments/rebuttal_visual.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--output_dir", out,
+                "--resolution", "32",
+                "--num_inference_steps", "2",
+                "--max_frames", "2",
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert os.path.exists(os.path.join(out, "trajectory_grid.png"))
+
+    def test_num_prompts_zero_rejected(self, workdir):
+        """take_prompts guard (ADVICE round 2): --num_prompts 0 exits
+        nonzero with a message instead of silently running nothing."""
+        root, meta, data_dir = workdir
+        r = run_script(
+            "scripts/inference/experiments/formal_baseline.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--output_dir", str(root / "npz_out"),
+                "--resolution", "32",
+                "--num_inference_steps", "2",
+                "--num_prompts", "0",
+            ],
+        )
+        assert r.returncode != 0
+        assert "num_prompts" in (r.stderr + r.stdout)
+
     def test_formal_improved(self, workdir):
         root, meta, data_dir = workdir
         out = str(root / "fi_out")

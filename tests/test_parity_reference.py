@@ -118,3 +118,24 @@ def test_torch_models_accept_exported_state_dict(stack_params_inputs):
     sd = {k: torch.from_numpy(np.ascontiguousarray(v))
           for k, v in export_vae_state_dict(params["vae"]).items()}
     stack["vae"].load_state_dict(sd, strict=True)
+
+
+@pytest.mark.veryslow
+def test_sd15_full_config_single_step_parity():
+    """Full pinned SD-1.5 config (random weights), ONE GM-loop step vs the
+    reference pipeline class (VERDICT.md round-2 item 1's regression hook;
+    the 10-step recorded rows live in docs/PARITY_RESULTS.md via
+    parity_vs_reference.py --config sd15). ~20-40 min of single-core CPU:
+    kept out of the default slow tier behind the veryslow marker."""
+    stack = parity.make_torch_stack(0, scale="sd15")
+    params = parity.gmdx_params_from_torch(stack)
+    inputs = parity.make_inputs(42, scale="sd15")
+    ref_lat, _ = parity.run_reference_gm(
+        stack, inputs, num_inference_steps=1, scheduler="pndm",
+        with_image=False,
+    )
+    got_lat, _ = parity.run_gmdx_gm(
+        params, inputs, num_inference_steps=1, scheduler="pndm",
+        scale="sd15", with_image=False,
+    )
+    assert parity.psnr(ref_lat, got_lat) > THRESHOLD_DB
