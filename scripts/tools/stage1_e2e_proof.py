@@ -80,16 +80,29 @@ def make_dataset(root: str, n_pairs: int = 256, size: int = 160) -> str:
 
 
 def ensure_vae_ckpt(root: str) -> str:
-    """Full-architecture SD VAE pipeline dir (random init, sd15 size)."""
-    pipe_dir = os.path.join(root, "pipe_sd15")
-    if not os.path.isdir(pipe_dir):
-        r = subprocess.run(
-            [sys.executable, os.path.join(REPO, "scripts/tools/init_pipeline.py"),
-             "--output_dir", pipe_dir, "--size", "sd15", "--seed", "0"],
-            cwd=REPO, timeout=3600,
-        )
-        if r.returncode != 0:
-            raise RuntimeError("init_pipeline sd15 failed")
+    """Minimal pipeline dir with ONLY the components Stage-1 loads: the
+    full-architecture SD VAE (random init) + tokenizer + scheduler — no
+    point initializing two 3.4 GB UNets the trainer never touches."""
+    pipe_dir = os.path.join(root, "pipe_vae")
+    if os.path.isdir(pipe_dir):
+        return pipe_dir
+    import jax
+    import jax.numpy as jnp
+
+    from gmdx.io.pipeline import save_pipeline
+    from gmdx.models import AutoencoderKL, CLIPTokenizer, SD15_VAE_CONFIG
+    from gmdx.schedulers import PNDMScheduler
+
+    vae = AutoencoderKL(SD15_VAE_CONFIG)
+    params = jax.jit(vae.init)(
+        jax.random.key(0), jnp.zeros((1, 3, 64, 64)), jax.random.key(1)
+    )["params"]
+    save_pipeline(
+        pipe_dir,
+        components={"vae": (vae, params)},
+        tokenizer=CLIPTokenizer.tiny(),
+        scheduler=PNDMScheduler(),
+    )
     return pipe_dir
 
 
