@@ -313,17 +313,33 @@ def config5b() -> dict:
     from gmdx.schedulers import PNDMScheduler
     from gmdx.utils import sync
 
+    from gmdx.models import (
+        ControlNetConfig,
+        ControlNetModel,
+        controlnet_params_from_unet,
+    )
+    from gmdx.utils import cached_export
+
     dtype = jnp.bfloat16
+    res = 1024
     m = _models(dtype, with_sdr_unet=True)
+    cnet = ControlNetModel(ControlNetConfig(unet=m["unet"].config), dtype=dtype)
     pipe = StableDiffusionControlNetHDRPipeline(
         m["unet"], m["vae"], None, None, PNDMScheduler(),
-        gm_unet=m["gm_unet"],
+        gm_unet=m["gm_unet"], controlnet=cnet,
     )
     params = dict(m["params"])
-    # zero-adapter controlnet = encoder copy of the unet (the CLI default)
-    params["controlnet"] = params["unet"]
-
-    res = 1024
+    # zero-adapter controlnet = encoder copy of the unet (the CLI default,
+    # scripts/inference/upconvert_hdrtv.py:66-82)
+    cnet_args = (
+        jax.random.key(0), jnp.zeros((1, 4, res // 8, res // 8)),
+        jnp.array(1.0), jnp.zeros((1, 77, 768)),
+        jnp.zeros((1, 3, res, res)),
+    )
+    init = cached_export(cnet.init, *cnet_args, key="bx5b-cnet-init")(
+        *cnet_args
+    )["params"]
+    params["controlnet"] = controlnet_params_from_unet(init, params["unet"])
     sdr01 = jax.random.uniform(jax.random.key(9), (1, 3, res, res))
     cond = jax.random.normal(jax.random.key(10), (1, 77, 768), dtype)
     uncond = jax.random.normal(jax.random.key(11), (1, 77, 768), dtype)
