@@ -163,8 +163,11 @@ def log_validation(args, vae, params, step, val_dir, metrics_log=None):
     os.makedirs(val_dir, exist_ok=True)
     key = jax.random.key(args.seed or 0)
 
+    # Params enter as a jit ARGUMENT: closing over them would bake ~335 MB
+    # of fp32 VAE constants into the lowered module (slow lowering, and the
+    # tunneled remote-compile endpoint rejects the oversized request body).
     @jax.jit
-    def gm_of(x, k):
+    def gm_of(params, x, k):
         post = vae.apply({"params": params}, x, method=vae.encode)
         z = post.sample(k) * 0.18215
         return jax.nn.sigmoid(
@@ -175,7 +178,7 @@ def log_validation(args, vae, params, step, val_dir, metrics_log=None):
     for i, path in enumerate(images[:4]):
         sdr01 = load_image(path, size=(args.resolution, args.resolution))
         x = jnp.asarray(to_model_input(sdr01))
-        gm = np.asarray(gm_of(x, jax.random.fold_in(key, i))[0])
+        gm = np.asarray(gm_of(params, x, jax.random.fold_in(key, i))[0])
         hdr = np.asarray(
             apply_gm_to_sdr(
                 jnp.asarray(gm), jnp.asarray(sdr01.transpose(2, 0, 1)), qmax=49.0

@@ -139,7 +139,9 @@ def main():
         "--mixed_precision", "bf16",
     ]
     print(" ".join(cmd), flush=True)
-    r = subprocess.run(cmd, cwd=REPO, timeout=14000)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(cmd, cwd=REPO, timeout=14000, env=env)
     if r.returncode != 0:
         raise SystemExit(f"trainer failed rc={r.returncode}")
 
