@@ -88,14 +88,24 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
             step_keys = jax.random.split(
                 jax.random.key(0), self._num_steps(num_inference_steps)
             )
-        return self._denoise_dual_jit(
-            params, prompt_embeds, negative_prompt_embeds, latents,
+        statics = dict(
             num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale,
             guidance_rescale=guidance_rescale,
             eta=eta,
-            step_keys=step_keys,
             return_intermediates=return_intermediates,
+        )
+        hit, out = self._aot_cached(
+            self._denoise_dual_impl, statics,
+            (params, prompt_embeds, negative_prompt_embeds, latents),
+            step_keys,
+        )
+        if hit:
+            return out
+        return self._denoise_dual_jit(
+            params, prompt_embeds, negative_prompt_embeds, latents,
+            step_keys=step_keys,
+            **statics,
         )
 
     def _denoise_dual_impl(

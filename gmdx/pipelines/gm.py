@@ -213,6 +213,30 @@ class StableDiffusionGMPipeline:
             ),
         )
 
+    def _aot_cached(self, impl, statics: dict, args: tuple, step_keys):
+        """Serving AOT tier (opt-in, ``GMDX_AOT_CACHE=1``): route a denoise
+        call through gmdx.utils.cached_export — serialized trace + (on TPU)
+        serialized executable keyed on source/avals/statics — so a serving
+        process skips re-trace AND re-compile on warm start, the same
+        mechanism bench.py uses. Returns (sentinel, result): sentinel False
+        when disabled (callers fall back to the in-process jit)."""
+        import os
+
+        if os.environ.get("GMDX_AOT_CACHE", "0") != "1":
+            return False, None
+        from gmdx.utils import cached_export
+
+        def fn(*a):  # step_keys rides as the LAST traced argument
+            return impl(*a[:-1], step_keys=a[-1], **statics)
+
+        key = (
+            f"pipe-{type(self).__name__}-{impl.__name__}-"
+            f"{type(self.scheduler).__name__}-"
+            + "-".join(f"{k}={v}" for k, v in sorted(statics.items()))
+        )
+        call_args = args + (step_keys,)
+        return True, cached_export(fn, *call_args, key=key)(*call_args)
+
     def denoise(
         self,
         params,
@@ -232,15 +256,25 @@ class StableDiffusionGMPipeline:
             step_keys = jax.random.split(
                 jax.random.key(0), self._num_steps(num_inference_steps)
             )
-        return self._denoise_jit(
-            params, sdr_latent, prompt_embeds, negative_prompt_embeds,
-            latents,
+        statics = dict(
             num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale,
             guidance_rescale=guidance_rescale,
             eta=eta,
-            step_keys=step_keys,
             return_intermediates=return_intermediates,
+        )
+        args = (params, sdr_latent, prompt_embeds, negative_prompt_embeds,
+                latents)
+        hit, out = self._aot_cached(
+            self._denoise_impl, statics, args, step_keys
+        )
+        if hit:
+            return out
+        return self._denoise_jit(
+            params, sdr_latent, prompt_embeds, negative_prompt_embeds,
+            latents,
+            step_keys=step_keys,
+            **statics,
         )
 
     def _denoise_impl(

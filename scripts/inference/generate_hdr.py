@@ -73,11 +73,20 @@ def parse_args():
         "resolutions past one chip's HBM. Mutually exclusive with "
         "--tp_size. 1 = single-chip (default).",
     )
+    parser.add_argument(
+        "--aot_cache", action="store_true",
+        help="Persist the denoise program (serialized trace + compiled TPU "
+        "executable, .cache/jax_export/) keyed on source+shapes+settings: "
+        "warm serving processes skip re-trace AND re-compile entirely "
+        "(sets GMDX_AOT_CACHE=1; same tier bench.py uses).",
+    )
     return parser.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.aot_cache:
+        os.environ["GMDX_AOT_CACHE"] = "1"
 
     import jax
     from gmdx.utils import enable_compilation_cache

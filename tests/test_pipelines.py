@@ -655,3 +655,47 @@ class TestStepEndCallbacks:
         assert calls and all(
             s == {"latents", "negative_prompt_embeds"} for s in calls
         )
+
+
+class TestAOTCache:
+    def test_aot_cache_matches_jit_path(self, components, tmp_path, monkeypatch):
+        """GMDX_AOT_CACHE=1 routes denoise through cached_export (serialized
+        trace; + serialized executable on TPU) — results must match the
+        in-process jit path bit-for-bit, and a second call must hit the
+        on-disk artifact."""
+        unet8, _, vae, text, tok, params = components
+        pipe = StableDiffusionGMPipeline(unet8, vae, text, tok, PNDMScheduler())
+        sdr_latent = jax.random.normal(jax.random.key(5), LAT)
+        base = pipe(params, sdr_latent, "x", key=jax.random.key(6),
+                    num_inference_steps=2, output_type="latent")
+        monkeypatch.setenv("GMDX_AOT_CACHE", "1")
+        monkeypatch.setenv("GMDX_EXPORT_CACHE", str(tmp_path))
+        pipe2 = StableDiffusionGMPipeline(unet8, vae, text, tok, PNDMScheduler())
+        aot = pipe2(params, sdr_latent, "x", key=jax.random.key(6),
+                    num_inference_steps=2, output_type="latent")
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(aot))
+        arts = list(tmp_path.glob("*.jaxexp"))
+        assert arts, "no export artifact written"
+        aot2 = pipe2(params, sdr_latent, "x", key=jax.random.key(6),
+                     num_inference_steps=2, output_type="latent")
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(aot2))
+
+    def test_aot_cache_dual(self, components, tmp_path, monkeypatch):
+        unet8, unet4, vae, text, tok, params = components
+        p = dict(params)
+        p["gm_unet"] = params["unet"]
+        p["unet"] = params["unet4"]
+        pipe = StableDiffusionDualUNetPipeline(
+            unet4, vae, text, tok, PNDMScheduler(), gm_unet=unet8
+        )
+        base = pipe(p, "x", key=jax.random.key(0), height=32, width=32,
+                    num_inference_steps=2, output_type="latent")
+        monkeypatch.setenv("GMDX_AOT_CACHE", "1")
+        monkeypatch.setenv("GMDX_EXPORT_CACHE", str(tmp_path))
+        pipe2 = StableDiffusionDualUNetPipeline(
+            unet4, vae, text, tok, PNDMScheduler(), gm_unet=unet8
+        )
+        aot = pipe2(p, "x", key=jax.random.key(0), height=32, width=32,
+                    num_inference_steps=2, output_type="latent")
+        np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(aot[0]))
+        np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(aot[1]))
