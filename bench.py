@@ -26,6 +26,8 @@ import jax.numpy as jnp
 
 from gmdx.utils import cached_export, enable_compilation_cache, sync
 
+# cache-miss forensics in the driver log (see enable_compilation_cache)
+os.environ.setdefault("GMDX_EXPLAIN_CACHE", "1")
 enable_compilation_cache()  # default-on persistent cache; warm runs skip compile
 
 A100_BASELINE_IMG_PER_S = 0.33

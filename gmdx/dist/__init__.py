@@ -5,6 +5,7 @@ from gmdx.dist.multihost import (
     initialize,
     is_main_process,
     barrier,
+    coordination_barrier,
     main_process_first,
     broadcast_from_main,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "initialize",
     "is_main_process",
     "barrier",
+    "coordination_barrier",
     "main_process_first",
     "broadcast_from_main",
     "make_mesh",

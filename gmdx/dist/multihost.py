@@ -53,6 +53,10 @@ def initialize(
             jax.process_index(), jax.process_count(),
             jax.local_device_count(), jax.device_count(),
         )
+        # Align hosts BEFORE anyone reaches a device collective: gloo/ICI
+        # context init only tolerates ~30 s of peer skew, far less than a
+        # cold-cache compile (see coordination_barrier).
+        coordination_barrier("gmdx_post_init")
         return True
     except Exception as e:
         # Single-host runs land here (no coordinator in the environment) —
@@ -82,6 +86,29 @@ def barrier(name: str = "gmdx") -> None:
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(name)
+
+
+def coordination_barrier(
+    name: str = "gmdx_init", timeout_ms: int = 600_000
+) -> None:
+    """Barrier on the coordination service (NOT a device collective).
+
+    The device-collective barrier above rides gloo/ICI, whose CONTEXT
+    INITIALIZATION has a hard ~30 s peer-rendezvous window — a host that
+    reaches its first collective while a peer is still compiling (minutes,
+    cold cache, shared cores) gets `Gloo context initialization failed:
+    DEADLINE_EXCEEDED`. Call this right after ``initialize()`` (and before
+    the first cross-process device_put/psum): the coordination service
+    tolerates ``timeout_ms`` of skew, so all hosts enter the gloo
+    rendezvous together. No-op in single-process runs."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = getattr(distributed.global_state, "client", None)
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
 
 
 @contextlib.contextmanager

@@ -203,7 +203,24 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
         # Partition the CPU cache per host feature set; TPU executables
         # are device code and stay shared.
         if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
-            path = os.path.join(path, f"cpu-{_host_cpu_fingerprint()}")
+            # Feature detection is PER-PROCESS, not per-host: AMX is only
+            # visible to processes that requested it (torch/oneDNN does at
+            # import), so a torch+jax process writes +amx AOT entries that
+            # a pure-jax process then loads and dies on — observed as the
+            # multihost children crashing/hanging at the shutdown barrier
+            # after this round's sd15 parity runs populated the cache. Pin
+            # XLA:CPU codegen below AMX so every process in the fleet
+            # compiles and loads the same ISA (tests don't need AMX), and
+            # bump the partition name so pre-pin poisoned dirs are never
+            # read again.
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "xla_cpu_max_isa" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + " --xla_cpu_max_isa=AVX512"
+                ).strip()
+            path = os.path.join(
+                path, f"cpu-avx512-{_host_cpu_fingerprint()}"
+            )
     try:
         os.makedirs(path, exist_ok=True)
     except OSError:
@@ -217,10 +234,15 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
     # Forensics for cross-session misses (the round-2 driver recompiled
     # against a warm dir — the XLA key bakes in per-session compile
     # options): log WHY a lookup missed so the next occurrence is
-    # attributable. The executable tier in gmdx/utils/export_cache.py is
-    # the actual fix; this is the tripwire.
-    try:
-        jax.config.update("jax_explain_cache_misses", True)
-    except Exception:
-        pass
+    # attributable. OPT-IN (GMDX_EXPLAIN_CACHE=1; bench.py sets it): the
+    # flag also explains every TRACING-cache miss, pages of text per
+    # process — enough to fill a subprocess PIPE buffer and deadlock
+    # multi-process children that aren't drained concurrently. The
+    # executable tier in gmdx/utils/export_cache.py is the actual fix;
+    # this is the tripwire.
+    if os.environ.get("GMDX_EXPLAIN_CACHE", "0") == "1":
+        try:
+            jax.config.update("jax_explain_cache_misses", True)
+        except Exception:
+            pass
     return path

@@ -111,15 +111,26 @@ def test_multihost_ckpt_and_spatial_halos(tmp_path):
         if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
     }
     env["PYTHONPATH"] = REPO
+    # File-backed stdout, drained by the OS: with PIPE, the first
+    # child to fill its 64 KB pipe buffer BLOCKS mid-collective while
+    # the parent communicate()s with its sibling -> distributed
+    # deadlock -> TimeoutExpired. Files make log volume irrelevant.
+    logs = [open(script.parent / f"child{i}.log", "w+") for i in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i), str(port), ckdir],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, stdout=logs[i], stderr=subprocess.STDOUT,
             text=True, cwd=REPO,
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p in procs:
+        p.wait(timeout=1200)
+    outs = []
+    for f in logs:
+        f.seek(0)
+        outs.append(f.read())
+        f.close()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i} ckpt OK" in out

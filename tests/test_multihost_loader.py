@@ -119,18 +119,29 @@ def test_process_sharded_loader_matches_global(tiny_parquet, tmp_path):
         if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
     }
     env["PYTHONPATH"] = REPO
+    # File-backed stdout, drained by the OS: with PIPE, the first
+    # child to fill its 64 KB pipe buffer BLOCKS mid-collective while
+    # the parent communicate()s with its sibling -> distributed
+    # deadlock -> TimeoutExpired. Files make log volume irrelevant.
+    logs = [open(script.parent / f"child{i}.log", "w+") for i in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i), str(port), tiny_parquet],
             env=env,
-            stdout=subprocess.PIPE,
+            stdout=logs[i],
             stderr=subprocess.STDOUT,
             text=True,
             cwd=REPO,
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p in procs:
+        p.wait(timeout=600)
+    outs = []
+    for f in logs:
+        f.seek(0)
+        outs.append(f.read())
+        f.close()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i} OK" in out

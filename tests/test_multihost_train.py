@@ -73,6 +73,13 @@ STEP_BODY = textwrap.dedent(
         }
         batch = jax.device_get(batch)  # host rows, sliceable per process
         mesh = make_mesh(8)
+        # Align BEFORE the first cross-process device_put: jax asserts
+        # sharding consistency over gloo there, and gloo context init only
+        # waits ~30 s for the peer — less than the skew two cold-compiling
+        # children accumulate on a shared core (coordination_barrier no-ops
+        # single-process).
+        from gmdx.dist import coordination_barrier
+        coordination_barrier("pre_collective")
         if process_local_rows is not None:
             lo, hi = process_local_rows
             local = {k: v[lo:hi] for k, v in batch.items()}
@@ -138,15 +145,26 @@ def test_train_step_on_real_process_group(tmp_path):
         if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
     }
     env["PYTHONPATH"] = REPO
+    # File-backed stdout, drained by the OS: with PIPE, the first
+    # child to fill its 64 KB pipe buffer BLOCKS mid-collective while
+    # the parent communicate()s with its sibling -> distributed
+    # deadlock -> TimeoutExpired. Files make log volume irrelevant.
+    logs = [open(script.parent / f"child{i}.log", "w+") for i in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(i), str(port)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, stdout=logs[i], stderr=subprocess.STDOUT,
             text=True, cwd=REPO,
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p in procs:
+        p.wait(timeout=1200)
+    outs = []
+    for f in logs:
+        f.seek(0)
+        outs.append(f.read())
+        f.close()
     losses = []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
