@@ -140,13 +140,18 @@ def kernel_psnr() -> float:
     fn, args = build(key_suffix="-b2", batch=2)
     sdr, gm = fn(*args)
     sync((sdr, gm))
+    prev = os.environ.get("GMDX_NO_PALLAS")
     os.environ["GMDX_NO_PALLAS"] = "1"
     try:
         fn2, args2 = build(key_suffix="-nopallas-b2", batch=2)
         ref_sdr, ref_gm = fn2(*args2)
         sync((ref_sdr, ref_gm))
     finally:
-        del os.environ["GMDX_NO_PALLAS"]
+        # Restore, don't clobber, a user-provided setting (ADVICE r3).
+        if prev is None:
+            del os.environ["GMDX_NO_PALLAS"]
+        else:
+            os.environ["GMDX_NO_PALLAS"] = prev
     val = min(psnr01(sdr, ref_sdr), psnr01(gm, ref_gm))
     print(f"kernel-path PSNR vs GMDX_NO_PALLAS fallback: {val:.2f} dB "
           f"(sdr {psnr01(sdr, ref_sdr):.2f}, gm {psnr01(gm, ref_gm):.2f})",
@@ -181,7 +186,12 @@ def main() -> None:
     }
     del outs  # release the throughput batches before the A/B pair
     if os.environ.get("GMDX_BENCH_KERNEL_PSNR", "1") == "1":
-        result["kernel_psnr_db"] = round(kernel_psnr(), 2)
+        if os.environ.get("GMDX_NO_PALLAS") == "1":
+            # Both A/B sides would trace the fallback path — the gate would
+            # report a vacuous inf dB for a kernel path that never ran.
+            result["kernel_psnr_db"] = "skipped (GMDX_NO_PALLAS=1 set)"
+        else:
+            result["kernel_psnr_db"] = round(kernel_psnr(), 2)
     print(json.dumps(result))
 
 

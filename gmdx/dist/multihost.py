@@ -53,11 +53,6 @@ def initialize(
             jax.process_index(), jax.process_count(),
             jax.local_device_count(), jax.device_count(),
         )
-        # Align hosts BEFORE anyone reaches a device collective: gloo/ICI
-        # context init only tolerates ~30 s of peer skew, far less than a
-        # cold-cache compile (see coordination_barrier).
-        coordination_barrier("gmdx_post_init")
-        return True
     except Exception as e:
         # Single-host runs land here (no coordinator in the environment) —
         # that is normal. A backend-already-initialized error is NOT normal:
@@ -73,6 +68,21 @@ def initialize(
         else:
             logger.debug("jax.distributed.initialize skipped: %s", e)
         return False
+    # Align hosts BEFORE anyone reaches a device collective: gloo/ICI
+    # context init only tolerates ~30 s of peer skew, far less than a
+    # cold-cache compile (see coordination_barrier). Deliberately OUTSIDE
+    # the try above: distributed init has already succeeded at this point,
+    # so a barrier failure must not be mislabeled "initialize skipped" —
+    # that would hide the very DEADLINE_EXCEEDED this call exists to
+    # prevent while the process IS joined to the group.
+    try:
+        coordination_barrier("gmdx_post_init")
+    except Exception as e:
+        logger.warning(
+            "gmdx post-init coordination barrier failed (hosts may be "
+            "desynchronized entering their first collective): %s", e,
+        )
+    return True
 
 
 def is_main_process() -> bool:
@@ -139,6 +149,7 @@ __all__ = [
     "initialize",
     "is_main_process",
     "barrier",
+    "coordination_barrier",
     "main_process_first",
     "broadcast_from_main",
 ]

@@ -513,7 +513,7 @@ class ResnetBlock2D(nn.Module):
             return (
                 os.environ.get("GMDX_FUSED_GN", "1") != "0"
                 and os.environ.get("GMDX_NO_PALLAS", "0") != "1"
-            and _tp_active() is None
+                and _tp_active() is None
                 and jax.default_backend() == "tpu"
                 and gn_onepass_eligible(shape, itemsize)
                 and winograd_eligible(shape, out_ch, itemsize)

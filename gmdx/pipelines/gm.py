@@ -229,10 +229,36 @@ class StableDiffusionGMPipeline:
         def fn(*a):  # step_keys rides as the LAST traced argument
             return impl(*a[:-1], step_keys=a[-1], **statics)
 
+        # Key EVERYTHING trace-determining that is baked in as a constant
+        # rather than arriving as a traced argument: scheduler config values
+        # (prediction_type / beta schedule change numerics at identical
+        # avals), model configs that don't change param shapes (head count,
+        # norm eps), and whether a TP kernel context was active at trace
+        # time (a TP trace bakes a shard_map over a mesh a single-chip run
+        # doesn't have — sharing those cache entries would be a collision).
+        from gmdx.dist import tpctx as _tpctx
+
+        def _cfg(mod):
+            cfg = getattr(mod, "config", None)
+            return repr(cfg) if cfg is not None else type(mod).__name__
+
+        ctx = _tpctx.active()
+        ctx_tag = (
+            "tp0" if ctx is None
+            else f"tp({getattr(ctx, 'axis', '?')},{getattr(ctx, 'size', '?')})"
+        )
         key = (
             f"pipe-{type(self).__name__}-{impl.__name__}-"
             f"{type(self.scheduler).__name__}-"
             + "-".join(f"{k}={v}" for k, v in sorted(statics.items()))
+            + "|sched:" + repr(getattr(self.scheduler, "config", None))
+            + "|unet:" + _cfg(self.unet)
+            + "|vae:" + _cfg(self.vae)
+            + (
+                "|gmunet:" + _cfg(self.gm_unet)
+                if getattr(self, "gm_unet", None) is not None else ""
+            )
+            + "|" + ctx_tag
         )
         call_args = args + (step_keys,)
         return True, cached_export(fn, *call_args, key=key)(*call_args)

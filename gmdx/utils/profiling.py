@@ -218,9 +218,38 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
                 os.environ["XLA_FLAGS"] = (
                     flags + " --xla_cpu_max_isa=AVX512"
                 ).strip()
-            path = os.path.join(
-                path, f"cpu-avx512-{_host_cpu_fingerprint()}"
-            )
+            # XLA reads XLA_FLAGS once, at backend init. If a caller already
+            # touched jax (devices/arrays) the pin above silently does NOT
+            # apply to this process — writing into the 'cpu-avx512' partition
+            # anyway would let a +AMX process repopulate the supposedly
+            # pinned dir and reintroduce the cross-process ISA poisoning.
+            # Detect that case and fall back to an unpinned, per-fingerprint
+            # partition instead (and say so).
+            pinned = True
+            try:
+                from jax._src import xla_bridge as _xb
+
+                if getattr(_xb, "_backends", None):
+                    pinned = "xla_cpu_max_isa=AVX512" in flags
+            except Exception:
+                pass
+            if pinned:
+                path = os.path.join(
+                    path, f"cpu-avx512-{_host_cpu_fingerprint()}"
+                )
+            else:
+                import warnings
+
+                warnings.warn(
+                    "gmdx: enable_compilation_cache() called after the XLA "
+                    "backend was initialized — the --xla_cpu_max_isa=AVX512 "
+                    "pin cannot apply to this process; using an unpinned "
+                    "cache partition. Call it before any other JAX use.",
+                    stacklevel=2,
+                )
+                path = os.path.join(
+                    path, f"cpu-unpinned-{_host_cpu_fingerprint()}"
+                )
     try:
         os.makedirs(path, exist_ok=True)
     except OSError:
