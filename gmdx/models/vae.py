@@ -38,6 +38,11 @@ class VAEConfig:
     latent_channels: int = 4
     scaling_factor: float = 0.18215
     sample_size: int = 512
+    # Gradient checkpointing: rematerialize resnet/attention activations in
+    # the backward pass (Stage-1 --gradient_checkpointing,
+    # reference train_vqgan_lora.py:536 -> vae.enable_gradient_checkpointing).
+    # Same remat granularity as UNet2DConditionModel (unet2d.py:62-66).
+    remat: bool = False
 
 
 SD15_VAE_CONFIG = VAEConfig()
@@ -74,6 +79,8 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:  # NHWC in, NHWC moments out
         cfg = self.config
+        Res = nn.remat(ResnetBlock2D) if cfg.remat else ResnetBlock2D
+        Attn = nn.remat(VAEAttention) if cfg.remat else VAEAttention
         n = len(cfg.block_out_channels)
         h = nn.Conv(
             cfg.block_out_channels[0], (3, 3), padding=1, dtype=self.dtype,
@@ -81,7 +88,7 @@ class Encoder(nn.Module):
         )(x)
         for i, out_ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
-                h = ResnetBlock2D(
+                h = Res(
                     out_ch, use_temb=False, dtype=self.dtype,
                     name=f"down_{i}_resnet_{j}",
                 )(h)
@@ -91,9 +98,9 @@ class Encoder(nn.Module):
                     name=f"down_{i}_downsample",
                 )(h)
         mid = cfg.block_out_channels[-1]
-        h = ResnetBlock2D(mid, use_temb=False, dtype=self.dtype, name="mid_resnet_0")(h)
-        h = VAEAttention(mid, dtype=self.dtype, name="mid_attn")(h)
-        h = ResnetBlock2D(mid, use_temb=False, dtype=self.dtype, name="mid_resnet_1")(h)
+        h = Res(mid, use_temb=False, dtype=self.dtype, name="mid_resnet_0")(h)
+        h = Attn(mid, dtype=self.dtype, name="mid_attn")(h)
+        h = Res(mid, use_temb=False, dtype=self.dtype, name="mid_resnet_1")(h)
         h = GroupNorm(32, 1e-6, dtype=self.dtype, name="conv_norm_out")(
             h, activate=True
         )
@@ -110,16 +117,18 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, z: Array) -> Array:  # NHWC latent in, NHWC image out
         cfg = self.config
+        Res = nn.remat(ResnetBlock2D) if cfg.remat else ResnetBlock2D
+        Attn = nn.remat(VAEAttention) if cfg.remat else VAEAttention
         n = len(cfg.block_out_channels)
         mid = cfg.block_out_channels[-1]
         h = nn.Conv(mid, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
-        h = ResnetBlock2D(mid, use_temb=False, dtype=self.dtype, name="mid_resnet_0")(h)
-        h = VAEAttention(mid, dtype=self.dtype, name="mid_attn")(h)
-        h = ResnetBlock2D(mid, use_temb=False, dtype=self.dtype, name="mid_resnet_1")(h)
+        h = Res(mid, use_temb=False, dtype=self.dtype, name="mid_resnet_0")(h)
+        h = Attn(mid, dtype=self.dtype, name="mid_attn")(h)
+        h = Res(mid, use_temb=False, dtype=self.dtype, name="mid_resnet_1")(h)
         rev = tuple(reversed(cfg.block_out_channels))
         for i, out_ch in enumerate(rev):
             for j in range(cfg.layers_per_block + 1):
-                h = ResnetBlock2D(
+                h = Res(
                     out_ch, use_temb=False, dtype=self.dtype,
                     name=f"up_{i}_resnet_{j}",
                 )(h)

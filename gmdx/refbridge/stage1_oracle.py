@@ -287,11 +287,17 @@ def run_reference_stage1(
     disc_lr: float = 1e-4,
     max_grad_norm: float = 1.0,
     vae_loss: str = "l2",
+    grad_accum: int = 1,
 ) -> List[Dict]:
     """Alternating generator/discriminator steps, reference cadence
-    ``(i // grad_accum) % 2 == 0`` with grad_accum=1
-    (train_vqgan_lora.py:1114). Records per-step scalars and the post-step
-    trainable trees converted into gmdx layout for direct comparison."""
+    ``(i // grad_accum) % 2 == 0`` (train_vqgan_lora.py:1114). With
+    ``grad_accum > 1`` this transcribes accelerate's accumulate() semantics
+    (:1150,1199): zero_grad at window start, ``(loss/ga).backward()`` per
+    micro-batch (accelerate scales the loss so accumulated grads are the
+    window MEAN), clip + optimizer.step() only at the window end. Records
+    per-micro-step scalars and the post-step trainable trees converted into
+    gmdx layout for direct comparison; ``grad_norm`` only exists on sync
+    records (it is the clipped ACCUMULATED norm there)."""
     import torch
     import torch.nn.functional as F
 
@@ -342,7 +348,9 @@ def run_reference_stage1(
 
     records = []
     for i, inp in enumerate(step_inputs):
-        generator_step = i % 2 == 0
+        generator_step = (i // grad_accum) % 2 == 0
+        window_start = i % grad_accum == 0
+        window_end = (i + 1) % grad_accum == 0
         pixel_values = inp["pixel_values"]
         miss_pixel_values = inp["miss_pixel_values"]
 
@@ -358,7 +366,8 @@ def run_reference_stage1(
 
         rec: Dict = {"kind": "gen" if generator_step else "disc"}
         if generator_step:
-            opt.zero_grad(set_to_none=True)
+            if window_start:
+                opt.zero_grad(set_to_none=True)
             if vae_loss == "l2":  # :1149-1155
                 loss = F.mse_loss(target, tmo)
             else:
@@ -377,11 +386,14 @@ def run_reference_stage1(
             )
             loss = loss + perceptual_loss + adaptive_weight * gen_loss
             rec["loss"] = float(loss.detach())
-            loss.backward()
-            rec["grad_norm"] = float(
-                torch.nn.utils.clip_grad_norm_(vae.parameters(), max_grad_norm)
-            )
-            opt.step()
+            (loss / grad_accum).backward()
+            if window_end:
+                rec["grad_norm"] = float(
+                    torch.nn.utils.clip_grad_norm_(
+                        vae.parameters(), max_grad_norm
+                    )
+                )
+                opt.step()
             base_sd, lora_sd = split_peft_state_dict(vae)
             rec["trainables"] = {
                 "lora": convert_peft_lora(base_sd, lora_sd),
@@ -393,7 +405,8 @@ def run_reference_stage1(
                 },
             }
         else:
-            dopt.zero_grad(set_to_none=True)
+            if window_start:
+                dopt.zero_grad(set_to_none=True)
             tmo = tmo.detach()  # :1199 tmo_fmap_hdr.detach_()
             target = target.clone().requires_grad_()
             real = disc(target)
@@ -403,11 +416,14 @@ def run_reference_stage1(
             rec.update(hinge=float(loss.detach()), gp=float(gp.detach()))
             loss = loss + gp
             rec["loss"] = float(loss.detach())
-            loss.backward()
-            rec["grad_norm"] = float(
-                torch.nn.utils.clip_grad_norm_(disc.parameters(), max_grad_norm)
-            )
-            dopt.step()
+            (loss / grad_accum).backward()
+            if window_end:
+                rec["grad_norm"] = float(
+                    torch.nn.utils.clip_grad_norm_(
+                        disc.parameters(), max_grad_norm
+                    )
+                )
+                dopt.step()
             from gmdx.models.discriminator import Discriminator as FlaxDisc
 
             disc_params, _ = convert_discriminator(disc, FlaxDisc(**DISC_KW))
@@ -429,6 +445,7 @@ def run_gmdx_stage1(
     disc_lr: float = 1e-4,
     max_grad_norm: float = 1.0,
     vae_loss: str = "l2",
+    grad_accum: int = 1,
 ) -> List[Dict]:
     import jax
     import jax.numpy as jnp
@@ -463,6 +480,14 @@ def run_gmdx_stage1(
         lambda _: disc_lr, max_grad_norm=max_grad_norm, weight_decay=1e-2,
         epsilon=1e-8,
     )
+    if grad_accum > 1:
+        # Production accumulation path (scripts/stage1/train_vqgan_lora.py):
+        # MultiSteps means the window-mean gradient goes through the same
+        # clip->AdamW chain the torch transcription applies at window end.
+        import optax
+
+        gen_opt = optax.MultiSteps(gen_opt, every_k_schedule=grad_accum)
+        disc_opt = optax.MultiSteps(disc_opt, every_k_schedule=grad_accum)
 
     gen_step = make_gen_step(
         config, vae=vae, discriminator=disc, vgg=vgg,
@@ -501,7 +526,7 @@ def run_gmdx_stage1(
             ),
             "encode_eps": jnp.asarray(inp["encode_eps"].numpy()),
         }
-        if i % 2 == 0:
+        if (i // grad_accum) % 2 == 0:
             state, metrics = gen_step(state, frozen, batch, key)
             records.append(
                 {
@@ -545,18 +570,26 @@ def _tree_flat_psnr(a, b) -> float:
     return psnr(flat_a, flat_b)
 
 
-def stage1_parity(seed: int = 0, num_steps: int = 4) -> Dict:
+def stage1_parity(
+    seed: int = 0, num_steps: int = 4, grad_accum: int = 1
+) -> Dict:
     stack = make_stage1_torch_stack(seed)
     converted = gmdx_stage1_params_from_torch(stack)
     inputs = make_stage1_inputs(seed + 1, num_steps=num_steps)
-    ref = run_reference_stage1(stack, inputs)
-    got = run_gmdx_stage1(converted, inputs)
+    ref = run_reference_stage1(stack, inputs, grad_accum=grad_accum)
+    got = run_gmdx_stage1(converted, inputs, grad_accum=grad_accum)
     out = {"steps": []}
+    # With accumulation the torch side only has a (window-accumulated)
+    # grad_norm on sync records, while gmdx metrics report the per-micro-
+    # batch norm — not comparable; compare it only in the ga=1 harness.
+    scalar_keys = ("loss", "recon", "perceptual", "adversarial",
+                   "adaptive_weight", "hinge", "gp") + (
+        ("grad_norm",) if grad_accum == 1 else ()
+    )
     for r, g in zip(ref, got):
         assert r["kind"] == g["kind"]
         rec = {"kind": r["kind"]}
-        for k in ("loss", "grad_norm", "recon", "perceptual", "adversarial",
-                  "adaptive_weight", "hinge", "gp"):
+        for k in scalar_keys:
             if k in r:
                 rec[f"{k}_ref"] = r[k]
                 rec[f"{k}_gmdx"] = g[k]

@@ -33,6 +33,7 @@ from gmdx.train.stage1 import (
     reconstruct_and_tonemap,
     make_gen_step,
     make_disc_step,
+    make_ema_step,
 )
 
 __all__ = [
@@ -60,6 +61,7 @@ __all__ = [
     "reconstruct_and_tonemap",
     "make_gen_step",
     "make_disc_step",
+    "make_ema_step",
     "ControlNetTrainConfig",
     "ControlNetState",
     "init_controlnet_state",

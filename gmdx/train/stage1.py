@@ -237,16 +237,17 @@ def make_gen_step(
             grads, state.opt_state, state.trainables
         )
         trainables = optax.apply_updates(state.trainables, updates)
-        ema = (
-            ema_update(EMAConfig(), state.ema, trainables)
-            if state.ema is not None
-            else None
-        )
+        # EMA is NOT advanced here: the reference steps its EMA once per
+        # *optimizer sync* — after generator AND discriminator windows alike
+        # (train_vqgan_lora.py:1225-1229, `if accelerator.sync_gradients`) —
+        # so the CLI calls make_ema_step at each sync boundary instead.
+        # Under gradient accumulation (optax.MultiSteps-wrapped optimizer)
+        # `updates` is all-zeros between syncs and apply_updates is the
+        # identity, matching accelerate's no-op optimizer.step().
         new_state = dataclasses.replace(
             state,
             trainables=trainables,
             opt_state=opt_state,
-            ema=ema,
             step=state.step + 1,
         )
         metrics = {
@@ -261,6 +262,26 @@ def make_gen_step(
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_ema_step(config: Stage1Config):
+    """EMA advance at an optimizer-sync boundary.
+
+    The reference steps EMA once per accelerate sync — after generator AND
+    discriminator updates alike (train_vqgan_lora.py:1225-1229:
+    ``if accelerator.sync_gradients: ... ema_model.step(vae.parameters())``)
+    — so the EMA decay-ramp counter advances twice per gen/disc cycle and
+    the post-disc step decays the shadow toward unchanged generator params.
+    The CLI calls this at every sync to reproduce that schedule exactly."""
+
+    def step_fn(state: Stage1State) -> Stage1State:
+        if state.ema is None:
+            return state
+        return dataclasses.replace(
+            state, ema=ema_update(EMAConfig(), state.ema, state.trainables)
+        )
+
+    return jax.jit(step_fn, donate_argnums=(0,))
 
 
 def make_disc_step(
@@ -360,4 +381,5 @@ __all__ = [
     "reconstruct_and_tonemap",
     "make_gen_step",
     "make_disc_step",
+    "make_ema_step",
 ]

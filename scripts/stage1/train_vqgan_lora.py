@@ -122,6 +122,15 @@ def parse_args():
     args = p.parse_args()
     if args.train_metadata is None and args.dataset_name is None:
         p.error("need --train_metadata (parquet) or --dataset_name")
+    if args.push_to_hub:
+        # Reject loudly rather than parse-and-ignore: this build has no
+        # network egress, so silently skipping the upload the reference
+        # performs (create_repo + upload_folder) would misreport success.
+        p.error(
+            "--push_to_hub is not supported (no network egress in this "
+            "build); final artifacts are written to --output_dir — upload "
+            "them out-of-band"
+        )
     return args
 
 
@@ -228,6 +237,7 @@ def main():
         init_trainables,
         make_adamw,
         make_disc_step,
+        make_ema_step,
         make_gen_step,
         make_manager,
         resolve_resume_step,
@@ -256,8 +266,13 @@ def main():
             "under/overflow GroupNorm statistics and GAN losses; this path "
             "is not benchmarked or numerically validated — prefer bf16."
         )
-    if compute_dtype != jnp.float32:
-        vae = type(vae)(vae.config, dtype=compute_dtype)
+    if compute_dtype != jnp.float32 or args.gradient_checkpointing:
+        vae = type(vae)(
+            dataclasses.replace(vae.config, remat=args.gradient_checkpointing),
+            dtype=compute_dtype,
+        )
+        if args.gradient_checkpointing:
+            logger.info("gradient checkpointing (remat) enabled on the VAE")
     discriminator = Discriminator(dtype=compute_dtype)
     vgg = VGG19Features(dtype=compute_dtype)
     res = args.resolution
@@ -312,7 +327,12 @@ def main():
         len(dataset) if args.max_train_samples is None
         else min(args.max_train_samples, len(dataset))
     )
-    steps_per_epoch = max(1, n_samples // (args.train_batch_size * n_dev))
+    ga = args.gradient_accumulation_steps
+    batches_per_epoch = max(1, n_samples // (args.train_batch_size * n_dev))
+    # Optimizer-update steps per epoch, the reference's
+    # num_update_steps_per_epoch = ceil(len(dataloader) / grad_accum)
+    # (train_vqgan_lora.py:1004) — max_train_steps counts UPDATES.
+    steps_per_epoch = max(1, -(-batches_per_epoch // ga))
     max_train_steps = args.max_train_steps or (
         args.num_train_epochs * steps_per_epoch
     )
@@ -333,6 +353,18 @@ def main():
         weight_decay=args.adam_weight_decay, epsilon=args.adam_epsilon,
         max_grad_norm=args.max_grad_norm,
     )
+    if ga > 1:
+        # Real gradient accumulation (accelerator.accumulate,
+        # train_vqgan_lora.py:1150,1199): MultiSteps averages grads over ga
+        # micro-batches and applies the inner clip->AdamW->schedule chain
+        # once per window — between syncs the step emits zero updates, like
+        # accelerate's no-op optimizer.step(). Each optimizer accumulates
+        # only within its own phase because the (i // ga) % 2 cadence calls
+        # it on exactly ga consecutive batches.
+        import optax
+
+        gen_opt = optax.MultiSteps(gen_opt, every_k_schedule=ga)
+        disc_opt = optax.MultiSteps(disc_opt, every_k_schedule=ga)
 
     trainables = init_trainables(jax.random.key(args.seed or 0), vae_params, cfg)
     disc_params = disc_vars["params"]
@@ -356,6 +388,30 @@ def main():
         cfg, vae=vae, discriminator=discriminator, tmo_fn=tmo_fn,
         optimizer=disc_opt,
     )
+    ema_step = make_ema_step(cfg) if args.use_ema else None
+
+    debug_fwd = None
+    if args.debug_mode:
+        from gmdx.ops import apply_gm_to_sdr
+        from gmdx.train.stage1 import gm_forward
+
+        @jax.jit
+        def debug_fwd(trainables, vae_frozen, batch, key):
+            # The reference's --debug_mode strip inputs
+            # (train_vqgan_lora.py:1143-1147): the generator forward with
+            # the CURRENT (pre-update) params and the step's posterior key,
+            # so the strip shows exactly what this step trained on.
+            from gmdx.ops import gamut_compress
+
+            miss = batch["miss_pixel_values"]
+            sdr01 = (miss + 1.0) / 2.0
+            target01 = (batch["pixel_values"] + 1.0) / 2.0
+            params = effective_vae_params(cfg, vae_frozen, trainables)
+            gm = gm_forward(cfg, vae, params, miss, key,
+                            eps=batch.get("encode_eps"))
+            hdr = apply_gm_to_sdr(gm, sdr01, qmax=cfg.qmax)
+            tmo = gamut_compress(tmo_fn(hdr, qmax=cfg.qmax))
+            return sdr01, gm, hdr, tmo, target01
 
     manager = make_manager(args.output_dir,
                            max_to_keep=args.checkpoints_total_limit)
@@ -379,6 +435,14 @@ def main():
     )
     frozen_dev = replicate(mesh, frozen)
 
+    # Resume fast-forward: global_step counts optimizer UPDATES and
+    # checkpoints land on sync boundaries, so a checkpoint at step S has
+    # consumed exactly S*ga dataloader batches. Skipping them (and starting
+    # the batch index there, below) makes the resumed stream — data order,
+    # augmentation draws, gen/disc cadence phase, RNG keys — bit-identical
+    # to an uninterrupted run. The reference only resumes the epoch loop at
+    # first_epoch (train_gm_unet.py:1122-1129 pattern).
+    consumed_batches = global_step * ga
     loader = make_dataloader(
         dataset, tokenizer,
         batch_size=args.train_batch_size * n_dev,
@@ -390,6 +454,7 @@ def main():
         max_samples=args.max_train_samples,
         # Multi-host: per-host rows (sp keeps the global path).
         process_shard=(args.shard_strategy != "sp"),
+        skip_batches=consumed_batches,
     )
 
     metrics_log = MetricsLogger(
@@ -403,10 +468,13 @@ def main():
 
     key = jax.random.key(args.seed or 0)
     t_last = time.time()
-    for i, batch in enumerate(loader):
+    # start=consumed_batches: i is the GLOBAL dataloader index, so the
+    # (i // ga) % 2 cadence resumes in the right phase and the fold_in key
+    # stream continues where the interrupted run left off.
+    for i, batch in enumerate(loader, start=consumed_batches):
         if global_step >= max_train_steps:
             break
-        key, k_aug, k_step = jax.random.split(key, 3)
+        k_aug, k_step = jax.random.split(jax.random.fold_in(key, i))
         pixel_values = batch["pixel_values"]
         if args.clip_pixel:
             # Host-side exposure-clip augmentation (reference :1104-1109).
@@ -422,15 +490,44 @@ def main():
             dev_batch = shard_batch_spatial(mesh, batch_np)
         else:
             dev_batch = shard_batch(mesh, batch_np, process_local=True)
+        if debug_fwd is not None and i % 50 == 0:
+            # Reference --debug_mode (train_vqgan_lora.py:1143-1147): a
+            # sdr|gm|hdr|tmo|target strip of the first 4 samples, saved on
+            # the dataloader index every 50 batches.
+            from gmdx.io import save_image
+
+            strips = debug_fwd(
+                state.trainables, frozen_dev["vae"], dev_batch, k_step
+            )
+            strip = np.concatenate(
+                [np.asarray(jax.device_get(s)) for s in strips], axis=-1
+            )  # NCHW, panels concatenated along W
+            strip = np.clip(strip[:4], 0.0, 1.0)  # save_image clamp, like
+            # torchvision.utils.save_image's default [0,1] normalization
+            grid = np.concatenate(list(strip), axis=-2)  # samples as rows
+            debug_dir = os.path.join(args.output_dir, "debug_train")
+            os.makedirs(debug_dir, exist_ok=True)
+            save_image(
+                os.path.join(debug_dir, f"step_{i}_concat_image.png"),
+                np.transpose(grid, (1, 2, 0)),
+            )
         # Reference alternation cadence on the dataloader index (:1114).
-        generator_step = ((i // args.gradient_accumulation_steps) % 2) == 0
+        generator_step = ((i // ga) % 2) == 0
         if generator_step:
             state, m = gen_step(state, frozen_dev, dev_batch, k_step)
             tag = "gen"
         else:
             state, m = disc_step(state, frozen_dev, dev_batch, k_step)
             tag = "discr"
+        # Optimizer sync boundary: with accumulation the micro-steps between
+        # syncs emit zero updates (MultiSteps) and the reference neither
+        # advances global_step, steps EMA, logs, nor checkpoints there
+        # (train_vqgan_lora.py:1225-1229).
+        if (i + 1) % ga != 0:
+            continue
         global_step += 1
+        if ema_step is not None:
+            state = ema_step(state)
 
         if global_step % args.log_steps == 0 or global_step == 1:
             dt = time.time() - t_last
@@ -452,7 +549,7 @@ def main():
                 except (TypeError, ValueError):
                     pass
             scalars["samples_per_sec"] = (
-                args.log_steps * args.train_batch_size * n_dev / dt
+                args.log_steps * ga * args.train_batch_size * n_dev / dt
                 if global_step > 1 else 0.0
             )
             metrics_log.log(global_step, scalars)

@@ -141,6 +141,15 @@ def parse_args():
         )
     if args.train_metadata is None and args.dataset_name is None:
         p.error("need --train_metadata (parquet) or --dataset_name")
+    if args.push_to_hub:
+        # Reject loudly rather than parse-and-ignore: this build has no
+        # network egress, so silently skipping the reference's upload
+        # (create_repo + upload_folder) would misreport success.
+        p.error(
+            "--push_to_hub is not supported (no network egress in this "
+            "build); final artifacts are written to --output_dir — upload "
+            "them out-of-band"
+        )
     return args
 
 
@@ -251,9 +260,13 @@ def build_latent_cache(dataset, tokenizer, vae, vae_params, args, batch_size):
     return cache
 
 
-def cached_latent_loader(cache, batch_size, seed=0, num_epochs=None):
+def cached_latent_loader(
+    cache, batch_size, seed=0, num_epochs=None, skip_batches=0
+):
     """Shuffled epochs over the latent cache; drops the ragged tail batch
-    (static shapes for jit), like make_dataloader."""
+    (static shapes for jit), like make_dataloader. ``skip_batches``:
+    deterministic resume fast-forward — the shuffle is epoch-seed-derived,
+    so skipping yields the exact stream an uninterrupted run would see."""
     import numpy as np
 
     n = next(iter(cache.values())).shape[0]
@@ -263,6 +276,9 @@ def cached_latent_loader(cache, batch_size, seed=0, num_epochs=None):
     while num_epochs is None or epoch < num_epochs:
         order = np.random.default_rng(seed + epoch).permutation(n)
         for start in range(0, n - batch_size + 1, batch_size):
+            if skip_batches > 0:
+                skip_batches -= 1
+                continue
             idx = order[start : start + batch_size]
             yield {k: v[idx] for k, v in cache.items()}
         epoch += 1
@@ -416,7 +432,14 @@ def main():
         cache = build_latent_cache(
             dataset, tokenizer, vae, bundle["params"]["vae"], args, global_bs
         )
-        loader = cached_latent_loader(cache, global_bs, seed=args.seed or 0)
+        loader = cached_latent_loader(
+            cache, global_bs, seed=args.seed or 0,
+            # Resume fast-forward: each train step consumes one batch, so a
+            # checkpoint at step S has consumed exactly S batches. Beats the
+            # reference, which only resumes the epoch loop at first_epoch
+            # and re-consumes the partial epoch (train_gm_unet.py:1122-1129).
+            skip_batches=global_step,
+        )
     else:
         loader = make_dataloader(
             dataset,
@@ -428,6 +451,8 @@ def main():
             seed=args.seed or 0,
             num_workers=args.dataloader_num_workers,
             max_samples=args.max_train_samples,
+            # Resume fast-forward (see cached_latent_loader note above).
+            skip_batches=global_step,
             # Multi-host: each host decodes only its own rows of the global
             # batch (seed-derived order, no cross-host coordination) and the
             # prefetcher assembles the global array process-locally below.
@@ -481,7 +506,10 @@ def main():
     ):
         if global_step >= max_train_steps:
             break
-        key, k_step = jax.random.split(key)
+        # fold_in(key, step), not a split chain: O(1) resume fast-forward —
+        # a run resumed at step S draws the same noise/timesteps step S
+        # would have seen uninterrupted (pairs with the loader skip above).
+        k_step = jax.random.fold_in(key, global_step)
         state, m = train_step(state, frozen_dev, dev_batch, k_step)
         global_step += 1
 

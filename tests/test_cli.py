@@ -491,6 +491,9 @@ class TestStage1CLI:
                 "--clip_pixel",
                 "--val_images_dir", data_dir,
                 "--validation_steps", "2",
+                "--debug_mode",
+                "--gradient_checkpointing",
+                "--use_ema",
             ],
             timeout=1200,
         )
@@ -502,6 +505,11 @@ class TestStage1CLI:
         val = os.path.join(out, "validation")
         assert any(n.endswith(".hdr") for n in os.listdir(val))
         assert os.path.exists(os.path.join(val, "evaluation_log.txt"))
+        # --debug_mode wrote the sdr|gm|hdr|tmo|target strip at batch 0
+        # (reference train_vqgan_lora.py:1143-1147).
+        assert os.path.exists(
+            os.path.join(out, "debug_train", "step_0_concat_image.png")
+        )
 
 
 class TestStage1Resume:

@@ -72,3 +72,26 @@ def test_stage1_gan_step_parity():
             assert step["hinge_rel_err"] < 1e-4
             assert step["gp_rel_err"] < 1e-4  # grad-of-grad R1 penalty
             assert step["disc_params_flat_psnr_db"] > 70.0
+
+
+def test_stage1_gan_step_parity_grad_accum():
+    """ga=2: gmdx's optax.MultiSteps accumulation vs the accelerate
+    accumulate() transcription (zero_grad at window start, (loss/ga)
+    backward per micro-batch, clip + step at window end —
+    train_vqgan_lora.py:1150,1199). Cadence (i//2)%2 gives one gen window
+    then one disc window over 4 batches; micro-step records must show
+    frozen params inside a window and matching post-sync updates."""
+    from gmdx.refbridge.stage1_oracle import stage1_parity
+
+    out = stage1_parity(0, num_steps=4, grad_accum=2)
+    kinds = [s["kind"] for s in out["steps"]]
+    assert kinds == ["gen", "gen", "disc", "disc"]
+    for step in out["steps"]:
+        assert step["loss_rel_err"] < 1e-4
+        if step["kind"] == "gen":
+            assert step["adaptive_weight_rel_err"] < 1e-3
+            assert step["trainables_flat_psnr_db"] > 80.0
+        else:
+            assert step["hinge_rel_err"] < 1e-4
+            assert step["gp_rel_err"] < 1e-4
+            assert step["disc_params_flat_psnr_db"] > 70.0
