@@ -80,6 +80,7 @@ def make_dataloader(
     process_shard: bool = False,
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
+    skip_batches: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields batches: pixel_values / gainmap_values (B, 3, R, R) float32 in
     [-1, 1], input_ids / attention_mask (B, 77) int32. Drops the last ragged
@@ -101,6 +102,14 @@ def make_dataloader(
     ``process_index``/``process_count`` override jax's (for tests).
     Augmentation draws are seeded per (batch, process), so sharded runs are
     deterministic but not draw-for-draw identical to single-host runs.
+
+    ``skip_batches``: deterministic resume fast-forward — skip the first N
+    batches WITHOUT decoding them (the per-epoch shuffle order and the
+    per-batch augmentation seeds are index-derived, so the stream after the
+    skip is bit-identical to an uninterrupted run's). The trainers pass the
+    number of batches a resumed checkpoint already consumed; the reference
+    only resumes at epoch granularity (train_gm_unet.py:1122-1129) and
+    re-consumes the partial epoch.
     """
 
     n = len(dataset) if max_samples is None else min(max_samples, len(dataset))
@@ -207,20 +216,29 @@ def make_dataloader(
         # the training loop as an exception — a bare end-sentinel would make
         # a mid-run crash look like normal dataset completion.
         try:
+            remaining_skip = skip_batches
             for epoch, order in epochs():
                 for start in range(0, n - batch_size + 1, batch_size):
+                    if remaining_skip > 0:
+                        # Resume fast-forward: no decode, no augmentation
+                        # draws — seeds are (seed, epoch, start)-derived, so
+                        # skipping consumes nothing that later batches need.
+                        remaining_skip -= 1
+                        continue
                     idxs = order[start : start + batch_size]
+                    seed_key = (
+                        (seed, epoch, start, pi) if pc > 1
+                        else (seed, epoch, start)
+                    )
+                    rng = np.random.default_rng(seed_key)
                     if pc > 1:
                         local = batch_size // pc
                         idxs = idxs[pi * local : (pi + 1) * local]
-                        rng = np.random.default_rng((seed, epoch, start, pi))
-                    else:
-                        rng = np.random.default_rng((seed, epoch, start))
                     batch = None
                     if use_native and os.environ.get("GMDX_NO_NATIVE") != "1":
                         batch = native_batch(idxs, rng)
                         if batch is None:  # re-seed: draws must match fresh
-                            rng = np.random.default_rng((seed, epoch, start))
+                            rng = np.random.default_rng(seed_key)
                     if batch is None:
                         items = [sample(int(i), rng) for i in idxs]
                         batch = {
