@@ -244,8 +244,15 @@ def main():
     fn, fargs = WORKLOADS[args.workload](args.batch, args.res, dtype)
     from gmdx.utils import sync
 
-    jfn = jax.jit(fn)
-    sync(jfn(*fargs))  # compile outside the trace; true barrier (axon tunnel)
+    # dual_scan returns bench.build()'s cached_export product, which can be
+    # an already-AOT-compiled executable — re-jitting that raises; only wrap
+    # plain callables.
+    try:
+        jfn = jax.jit(fn)
+        sync(jfn(*fargs))  # compile outside trace; true barrier (axon tunnel)
+    except TypeError:
+        jfn = fn
+        sync(jfn(*fargs))
 
     trace_dir = args.out or tempfile.mkdtemp(prefix="gmdx_trace_")
     with jax.profiler.trace(trace_dir):

@@ -128,8 +128,31 @@ def conv3x3(args):
     return body, x
 
 
+def attention(args):
+    """Self-attention at a chosen (batch, heads, seq, head-dim) through the
+    production attention_packed dispatch — for flash block-size sweeps via
+    GMDX_FLASH_BLKQ/BLKK (the 1024^2 UNet level-0 shape is
+    --batch 2 --heads 8 --seq 16384 --head-dim 40)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gmdx.kernels.attention import attention_packed
+
+    dtype = jnp.bfloat16
+    c = args.heads * args.head_dim
+    q = jax.random.normal(jax.random.key(0), (args.batch, args.seq, c), dtype)
+    k = jax.random.normal(jax.random.key(1), (args.batch, args.seq, c), dtype)
+    v = jax.random.normal(jax.random.key(2), (args.batch, args.seq, c), dtype)
+
+    def body(q):
+        out = attention_packed(q, k, v, args.heads)
+        return (q * 0.5 + 0.5 * out).astype(dtype)
+
+    return body, q
+
+
 WORKLOADS = {"unet_fwd": unet_fwd, "vae_decode": vae_decode,
-             "conv3x3": conv3x3}
+             "conv3x3": conv3x3, "attention": attention}
 
 
 def main():
@@ -142,6 +165,9 @@ def main():
     ap.add_argument("--in-ch", type=int, default=320)
     ap.add_argument("--out-ch", type=int, default=320)
     ap.add_argument("--weight-dtype", default="float32")
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--seq", type=int, default=16384)
+    ap.add_argument("--head-dim", type=int, default=40)
     args = ap.parse_args()
 
     from gmdx.utils import enable_compilation_cache
@@ -149,10 +175,16 @@ def main():
     enable_compilation_cache()
     body, carry = WORKLOADS[args.workload](args)
     per = time_scan(body, carry, args.iters)
+    extra = (
+        f" seq={args.seq} heads={args.heads} d={args.head_dim} "
+        f"blkq={os.environ.get('GMDX_FLASH_BLKQ', '-')} "
+        f"blkk={os.environ.get('GMDX_FLASH_BLKK', '-')}"
+        if args.workload == "attention" else ""
+    )
     print(
         f"{args.workload} batch={args.batch} res={args.res} "
-        f"cl={args.channels_last} fused_qkv={os.environ.get('GMDX_FUSED_QKV', '1')}: "
-        f"{per*1e3:.2f} ms/iter"
+        f"cl={args.channels_last} fused_qkv={os.environ.get('GMDX_FUSED_QKV', '1')}:"
+        f"{extra} {per*1e3:.2f} ms/iter"
     )
 
 
