@@ -89,6 +89,12 @@ def parse_args():
         "(BENCHNOTES.md). Requires --center_crop and no --random_flip "
         "(latents are cached for one deterministic preprocess).",
     )
+    p.add_argument(
+        "--latent_cache_path", type=str, default=None,
+        help="precomputed latent-cache .npz (scripts/tools/"
+        "precompute_latents.py) to load for --cache_latents instead of "
+        "rebuilding the cache in-process",
+    )
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--scale_lr", action="store_true")
     p.add_argument("--lr_scheduler", type=str, default="constant")
@@ -211,53 +217,32 @@ def log_validation(args, pipe, params, step, val_dir, metrics_log=None):
 
 
 def build_latent_cache(dataset, tokenizer, vae, vae_params, args, batch_size):
-    """One pass over the dataset: posterior (mean, std) of both image
-    columns through the frozen VAE, float16 in host RAM (~128 KB/sample at
-    512²), plus the tokenized captions."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+    """Latent cache for --cache_latents: loads --latent_cache_path when
+    given (precomputed by scripts/tools/precompute_latents.py — the decode
+    AND encode passes are skipped entirely), else one in-RAM pass
+    (gmdx/train/latent_cache.py)."""
+    from gmdx.train.latent_cache import compute_latent_cache, load_latent_cache
 
-    from gmdx.data import make_dataloader
-
-    @jax.jit
-    def stats(params, images):
-        post = vae.apply({"params": params}, images, method=vae.encode)
-        return post.mean, post.std
-
-    # batch_size=1 so the dataloader's ragged-tail drop excludes nothing —
-    # with the training global batch here, the last (global_bs - 1) rows of
-    # the parquet would be permanently missing from training. Encoding still
-    # runs in fixed device chunks (padded tail, padding sliced off).
-    loader = make_dataloader(
-        dataset, tokenizer, batch_size=1,
-        resolution=args.resolution, center_crop=True, random_flip=False,
-        shuffle=False, num_epochs=1,
+    if args.latent_cache_path:
+        cache = load_latent_cache(
+            args.latent_cache_path, resolution=args.resolution
+        )
+        if args.max_train_samples:
+            cache = {
+                k: v[: args.max_train_samples] for k, v in cache.items()
+            }
+        logger.info(
+            "loaded precomputed latent cache (%d samples) from %s",
+            cache["input_ids"].shape[0], args.latent_cache_path,
+        )
+        return cache
+    return compute_latent_cache(
+        dataset, tokenizer, vae, vae_params,
+        resolution=args.resolution,
+        enc_batch=min(16, max(1, batch_size)),
         num_workers=args.dataloader_num_workers,
         max_samples=args.max_train_samples,
     )
-    pixels, gains, ids = [], [], []
-    for item in loader:
-        pixels.append(item["pixel_values"][0])
-        gains.append(item["gainmap_values"][0])
-        ids.append(item["input_ids"][0])
-    n = len(ids)
-    cache = {"input_ids": np.stack(ids)}
-    enc_bs = min(16, max(1, batch_size))
-    for images, prefix in ((pixels, "sdr"), (gains, "gm")):
-        means, stds = [], []
-        for start in range(0, n, enc_bs):
-            chunk = np.stack(images[start : start + enc_bs])
-            pad = enc_bs - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
-            m, s = stats(vae_params, jnp.asarray(chunk))
-            means.append(np.asarray(m, dtype=np.float16)[: enc_bs - pad])
-            stds.append(np.asarray(s, dtype=np.float16)[: enc_bs - pad])
-        cache[f"{prefix}_latent_mean"] = np.concatenate(means)
-        cache[f"{prefix}_latent_std"] = np.concatenate(stds)
-    logger.info("cached VAE posteriors for %d samples", n)
-    return cache
 
 
 def cached_latent_loader(
@@ -422,8 +407,13 @@ def main():
         )
 
     global_bs = args.train_batch_size * n_dev
+    if args.latent_cache_path and not args.cache_latents:
+        args.cache_latents = True  # the path implies the cached path
+        logger.info("--latent_cache_path given: enabling --cache_latents")
     if args.cache_latents:
-        if args.random_flip or not args.center_crop:
+        if not args.latent_cache_path and (
+            args.random_flip or not args.center_crop
+        ):
             raise SystemExit(
                 "--cache_latents requires --center_crop and no "
                 "--random_flip (latents are cached for one deterministic "

@@ -603,6 +603,59 @@ class TestCacheLatentsCLI:
         ).read().strip().splitlines()
         assert any("train_loss" in l for l in lines)
 
+    def test_precomputed_latent_cache_trains(self, workdir):
+        """precompute_latents.py writes an .npz the trainer loads via
+        --latent_cache_path (skipping decode+encode), and the resolution
+        guard rejects a mismatched cache loudly."""
+        root, meta, _ = workdir
+        npz = str(root / "latents64.npz")
+        r = run_script(
+            "scripts/tools/precompute_latents.py",
+            [
+                "--train_metadata", meta,
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--resolution", "64",
+                "--out", npz,
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert os.path.exists(npz)
+        out = str(root / "s2out_precache")
+        r = run_script(
+            "scripts/stage2/train_gm_unet.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--train_metadata", meta,
+                "--output_dir", out,
+                "--resolution", "64",
+                "--train_batch_size", "1",
+                "--max_train_steps", "2",
+                "--seed", "0",
+                "--latent_cache_path", npz,
+            ],
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        assert "loaded precomputed latent cache" in (r.stderr + r.stdout)
+        lines = open(
+            os.path.join(out, "logs", "metrics.jsonl")
+        ).read().strip().splitlines()
+        assert any("train_loss" in l for l in lines)
+        # resolution mismatch rejected loudly
+        r = run_script(
+            "scripts/stage2/train_gm_unet.py",
+            [
+                "--pretrained_model_name_or_path", str(root / "pipe"),
+                "--train_metadata", meta,
+                "--output_dir", str(root / "s2out_precache_bad"),
+                "--resolution", "32",
+                "--train_batch_size", "1",
+                "--max_train_steps", "1",
+                "--latent_cache_path", npz,
+            ],
+        )
+        assert r.returncode != 0
+        assert "rebuild" in (r.stderr + r.stdout)
+
     def test_cache_latents_requires_deterministic_preprocess(self, workdir):
         root, meta, _ = workdir
         r = run_script(
