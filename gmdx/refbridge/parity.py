@@ -70,6 +70,21 @@ def scale_configs(scale: str = "tiny"):
             "seq_len": SEQ_LEN,
             "ctx_dim": CTX_DIM,
         }
+    if scale == "small":
+        # Tiny channel widths but REAL sequence lengths: latents 32x32
+        # (256^2 image) puts the UNet level-0 attention at 1024 tokens
+        # (flash/KV-resident dispatch range), level-1 at 256 (KV-resident
+        # floor), and the VAE mid attention at 1024 — so an on-chip run
+        # with default kernels exercises the production Pallas paths while
+        # the torch oracle stays CPU-minutes (kernel_parity_tpu --vs-torch).
+        return {
+            "gm_unet": PARITY_GM_UNET_CONFIG,
+            "sdr_unet": PARITY_SDR_UNET_CONFIG,
+            "vae": PARITY_VAE_CONFIG,
+            "latent_hw": 32,
+            "seq_len": SEQ_LEN,
+            "ctx_dim": CTX_DIM,
+        }
     if scale == "sd15":
         from gmdx.models import (
             SD15_GM_UNET_CONFIG,

@@ -121,6 +121,54 @@ def grad_psnr() -> float:
     return float(10.0 * np.log10(peak**2 / mse))
 
 
+def vs_torch(steps: int = 10) -> float:
+    """DIRECT on-chip kernels ↔ torch gate (VERDICT r3 weak #4): run the
+    dual-pipeline parity harness's gmdx side ON THE TPU at fp32 with the
+    production Pallas kernels enabled, against the reference pipeline
+    executing the torch oracle on CPU — same injected latents/weights
+    through the production converter. Removes the transitive link in the
+    numerics chain (kernels↔fallback on-chip x fallback↔torch on-CPU).
+    Uses the "small" parity scale: tiny channel widths but 32x32 latents so
+    the 1024/256-token attentions actually dispatch the flash/KV-resident
+    kernels (at the tiny scale's 64 tokens every kernel would be idle and
+    the gate vacuous)."""
+    import numpy as np
+
+    import jax
+
+    assert jax.default_backend() == "tpu", (
+        "vs_torch must run on the TPU — that is the point of the gate"
+    )
+    # fp32 matmul precision: on TPU fp32 dots default to bf16 passes; the
+    # XLA side of this A/B must be genuinely fp32 to resolve >=60 dB.
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from gmdx.refbridge import parity
+
+    print("torch oracle (CPU, small scale)...", flush=True)
+    stack = parity.make_torch_stack(0, scale="small")
+    inputs = parity.make_inputs(42, scale="small")
+    ref_sdr, ref_gm = parity.run_reference_dual(
+        stack, inputs, num_inference_steps=steps
+    )
+    params = parity.gmdx_params_from_torch(stack)
+    print("gmdx on TPU, fp32, production kernels...", flush=True)
+    got_sdr, got_gm = parity.run_gmdx_dual(
+        params, inputs, num_inference_steps=steps, scale="small"
+    )
+    val = min(
+        parity.psnr(np.asarray(got_sdr), ref_sdr),
+        parity.psnr(np.asarray(got_gm), ref_gm),
+    )
+    print(
+        f"on-chip-kernels vs torch latents: {val:.2f} dB "
+        f"(sdr {parity.psnr(np.asarray(got_sdr), ref_sdr):.2f}, "
+        f"gm {parity.psnr(np.asarray(got_gm), ref_gm):.2f})",
+        flush=True,
+    )
+    return val
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-train", action="store_true")
@@ -128,8 +176,15 @@ def main():
                     help="run only the flash-bwd grad parity (own process: "
                     "the 860M-param grad tree next to five live pipeline "
                     "variants exhausts HBM)")
+    ap.add_argument("--vs-torch", action="store_true",
+                    help="direct on-chip fp32 kernels vs the CPU torch "
+                    "oracle at the 'small' parity scale")
+    ap.add_argument("--steps", type=int, default=10)
     args = ap.parse_args()
 
+    if args.vs_torch:
+        vs_torch(args.steps)
+        return
     if args.grad_only:
         print(f"GRAD_PSNR {grad_psnr():.2f}", flush=True)
         return
