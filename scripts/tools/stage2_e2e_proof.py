@@ -46,12 +46,38 @@ from stage1_e2e_proof import make_dataset  # noqa: E402 (same synthetic pairs)
 
 
 def ensure_pipe(root: str) -> str:
-    """Full-architecture SD-1.5 pipeline, random init: 4-ch UNet (the CLI
-    inflates conv_in to 8), SD VAE, CLIP-ViT-L text encoder, tiny-vocab
-    tokenizer (ids stay < 49408 so the full embedding table serves them)."""
+    """Full-ARCHITECTURE SD-1.5 pipeline, random init: 4-ch UNet (the CLI
+    inflates conv_in to 8) with every SD level/attention/cross-attn block
+    but at 0.3× channel width, full SD VAE, full CLIP-ViT-L text encoder,
+    tiny-vocab tokenizer (ids stay < 49408 so the embedding table serves
+    them).
+
+    Why not full width: this dev chip is tunneled and reads back at
+    ~5 MB/s (measured) — one full-width orbax checkpoint (params + Adam
+    moments ≈ 10 GB) would be >30 minutes of pure device→host transfer,
+    and the proof saves six of them. Step math, remat, cadence, resume
+    mechanics and shapes-per-level are width-independent; full-width step
+    throughput is measured separately (BENCHNOTES.md stage-2 rows)."""
     pipe_dir = os.path.join(root, "pipe_sd15")
     if os.path.isdir(pipe_dir):
         return pipe_dir
+    if os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
+        # Build the random-init pipe ON HOST CPU in a subprocess: the save
+        # path fetches params leaf by leaf, and through the 5 MB/s tunnel
+        # each small fetch is a full round trip — a 310 MB tree took >30
+        # minutes device-side. CPU init + save is pure host work.
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--makepipe",
+             "--out", root],
+            env=env, timeout=3600,
+        )
+        if r.returncode != 0 or not os.path.isdir(pipe_dir):
+            raise SystemExit("makepipe subprocess failed")
+        return pipe_dir
+    import dataclasses as _dc
+
     import jax
     import jax.numpy as jnp
 
@@ -67,7 +93,9 @@ def ensure_pipe(root: str) -> str:
     from gmdx.models.clip_text import CLIP_VIT_L_CONFIG
     from gmdx.schedulers import DDPMScheduler
 
-    unet = UNet2DConditionModel(SD15_UNET_CONFIG)
+    unet = UNet2DConditionModel(
+        _dc.replace(SD15_UNET_CONFIG, block_out_channels=(96, 192, 384, 384))
+    )
     unet_params = jax.jit(unet.init)(
         jax.random.key(0), jnp.zeros((1, 4, 32, 32)), jnp.array(1.0),
         jnp.zeros((1, 77, 768)),
@@ -168,6 +196,9 @@ def run_and_kill(cmd, env, run_dir, kill_at: int, timeout=14000):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--makepipe", action="store_true",
+                    help="internal: build the random-init pipe (run under "
+                    "JAX_PLATFORMS=cpu) and exit")
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--kill-at", type=int, default=150, dest="kill_at")
     ap.add_argument("--ckpt-every", type=int, default=100, dest="ckpt_every")
@@ -180,6 +211,9 @@ def main():
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
+    if args.makepipe:
+        ensure_pipe(args.out)
+        return
     meta = make_dataset(args.out, n_pairs=256, size=args.resolution + 32)
     # validation images must match the training resolution budget
     pipe_dir = ensure_pipe(args.out)
@@ -252,8 +286,10 @@ def write_doc(args, base, resumed, restored_step, killed_at, worst,
             "# Stage-2 e2e on-chip training proof (with mid-run kill + "
             "resume)\n\n"
             f"`python scripts/tools/stage2_e2e_proof.py --steps {args.steps} "
-            f"--doc` — three real `train_gm_unet.py` runs at full SD-1.5 "
-            f"UNet scale (inflated 8-ch, bf16 compute) at "
+            f"--doc` — three real `train_gm_unet.py` runs on the full SD-1.5 "
+            f"UNet architecture at 0.3x width (inflated 8-ch, bf16 compute; "
+            "width reduced because the tunneled dev chip reads back at "
+            "~5 MB/s — a full-width orbax save is >30 min of transfer) at "
             f"{args.resolution}^2, batch {args.batch}, cached VAE latents, "
             "on one TPU chip; synthetic Text-SDR-GM parquet (smooth fields "
             "+ derived gain map).\n\n"
