@@ -245,14 +245,16 @@ def main():
     from gmdx.utils import sync
 
     # dual_scan returns bench.build()'s cached_export product, which can be
-    # an already-AOT-compiled executable — re-jitting that raises; only wrap
-    # plain callables.
-    try:
-        jfn = jax.jit(fn)
-        sync(jfn(*fargs))  # compile outside trace; true barrier (axon tunnel)
-    except TypeError:
+    # an already-AOT-compiled executable — re-jitting that raises (and the
+    # abandoned trace can wedge the tunneled backend), so detect instead of
+    # try/except: anything that isn't a plain Python callable is used as-is.
+    import jax.stages
+
+    if isinstance(fn, jax.stages.Compiled) or hasattr(fn, "in_avals"):
         jfn = fn
-        sync(jfn(*fargs))
+    else:
+        jfn = jax.jit(fn)
+    sync(jfn(*fargs))  # compile outside trace; true barrier (axon tunnel)
 
     trace_dir = args.out or tempfile.mkdtemp(prefix="gmdx_trace_")
     with jax.profiler.trace(trace_dir):
