@@ -247,11 +247,13 @@ class StableDiffusionGMPipeline:
             "tp0" if ctx is None
             else f"tp({getattr(ctx, 'axis', '?')},{getattr(ctx, 'size', '?')})"
         )
-        key = (
-            f"pipe-{type(self).__name__}-{impl.__name__}-"
-            f"{type(self.scheduler).__name__}-"
-            + "-".join(f"{k}={v}" for k, v in sorted(statics.items()))
-            + "|sched:" + repr(getattr(self.scheduler, "config", None))
+        # The raw config reprs run to hundreds of characters — embedding
+        # them in the key (which becomes the artifact FILENAME) overflows
+        # NAME_MAX and the cache write fails silently; digest them instead.
+        import hashlib
+
+        baked = (
+            "sched:" + repr(getattr(self.scheduler, "config", None))
             + "|unet:" + _cfg(self.unet)
             + "|vae:" + _cfg(self.vae)
             + (
@@ -259,6 +261,12 @@ class StableDiffusionGMPipeline:
                 if getattr(self, "gm_unet", None) is not None else ""
             )
             + "|" + ctx_tag
+        )
+        key = (
+            f"pipe-{type(self).__name__}-{impl.__name__}-"
+            f"{type(self.scheduler).__name__}-"
+            + "-".join(f"{k}={v}" for k, v in sorted(statics.items()))
+            + "-" + hashlib.sha256(baked.encode()).hexdigest()[:16]
         )
         call_args = args + (step_keys,)
         return True, cached_export(fn, *call_args, key=key)(*call_args)
