@@ -45,8 +45,22 @@ def unflatten_tree(flat: Dict[str, np.ndarray], sep: str = "/") -> Dict:
 
 def save_params(path: str, params: Any) -> None:
     """Write a param tree to a .safetensors file."""
+    import jax
     from safetensors.numpy import save_file
 
+    # Fetch device leaves CONCURRENTLY first: flatten_tree's sequential
+    # per-leaf np.asarray pays a full round trip PER ARRAY on
+    # remote/tunneled devices (measured 0.13-1.3 s RTT — tens of minutes
+    # for an SD-scale tree), and jax.device_get serializes the same way on
+    # such backends. The PJRT copy releases the GIL, so a thread pool
+    # overlaps the round trips. No-op for host trees.
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    if any(isinstance(x, jax.Array) for x in leaves):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            leaves = list(ex.map(np.asarray, leaves))
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
     save_file(flatten_tree(params), path)
 
 
