@@ -922,7 +922,7 @@ def _wino_forward(x, kernel, bias, split, ochunks, pre_padded, interpret,
         )
 
     if stream:
-        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        x_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [
             pltpu.VMEM((16 * c, oc_w), x.dtype),
             pltpu.VMEM((trs + 1, 2, tp, 2 * c), x.dtype),

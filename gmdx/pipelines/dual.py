@@ -67,6 +67,7 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
                 "guidance_rescale",
                 "eta",
                 "return_intermediates",
+                "low_memory",
             ),
         )
 
@@ -83,6 +84,7 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
         eta: float = 0.0,
         step_keys: Optional[Array] = None,
         return_intermediates: bool = False,
+        low_memory: bool = False,
     ):
         if step_keys is None:
             step_keys = jax.random.split(
@@ -94,6 +96,7 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
             guidance_rescale=guidance_rescale,
             eta=eta,
             return_intermediates=return_intermediates,
+            low_memory=low_memory,
         )
         hit, out = self._aot_cached(
             self._denoise_dual_impl, statics,
@@ -121,12 +124,24 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
         eta: float = 0.0,
         step_keys: Optional[Array] = None,
         return_intermediates: bool = False,
+        low_memory: bool = False,
     ):
         do_cfg = negative_prompt_embeds is not None
         context = (
             jnp.concatenate([negative_prompt_embeds, prompt_embeds])
             if do_cfg
             else prompt_embeds
+        )
+        # Sequential CFG (low_memory): the uncond/cond SDR-UNet passes run
+        # one after another over a lax.map'd context stack instead of one
+        # CFG-doubled batch, so only ONE batch-B UNet's activations are live
+        # at a time — peak HBM roughly halves on the dominant tensor class
+        # and batch 4 fits a 16 GB chip at 1024^2 (BENCH_extra 5a). Same
+        # math, same step count; throughput trades MXU batching for memory.
+        ctx_stack = (
+            jnp.stack([negative_prompt_embeds, prompt_embeds])
+            if (do_cfg and low_memory)
+            else None
         )
         sched = self.scheduler
         acp = sched.alphas_cumprod
@@ -155,14 +170,28 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
             lat_in = sched.scale_model_input(sdr_st, lat)
             # gm scale_model_input overwrites gm_latents (reference :1048).
             gm_lat = sched.scale_model_input(gm_st, gm_lat)
-            if do_cfg:
-                lat_in = jnp.concatenate([lat_in, lat_in], axis=0)
-            eps = sdr_unet(lat_in, t, context, channels_last=True)
-            if do_cfg:
-                eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
+            if do_cfg and low_memory:
+                eps2 = jax.lax.map(
+                    lambda c: sdr_unet(lat_in, t, c, channels_last=True),
+                    ctx_stack,
+                )
+                eps_uncond, eps_text = eps2[0], eps2[1]
                 eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
                 if guidance_rescale > 0.0:
                     eps = rescale_noise_cfg(eps, eps_text, guidance_rescale)
+            else:
+                if do_cfg:
+                    lat_in = jnp.concatenate([lat_in, lat_in], axis=0)
+                eps = sdr_unet(lat_in, t, context, channels_last=True)
+                if do_cfg:
+                    eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
+                    eps = eps_uncond + guidance_scale * (
+                        eps_text - eps_uncond
+                    )
+                    if guidance_rescale > 0.0:
+                        eps = rescale_noise_cfg(
+                            eps, eps_text, guidance_rescale
+                        )
 
             # --- x0 prediction BEFORE the SDR step (reference :1072-1075) ---
             a_t = acp[t]
@@ -216,6 +245,7 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
         clip_skip: Optional[int] = None,
         output_type: str = "pil",
         return_intermediates: bool = False,
+        low_memory: bool = False,
         callback_on_step_end=None,
         callback_on_step_end_tensor_inputs=None,
         callback=None,
@@ -272,6 +302,7 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
             eta=eta,
             step_keys=step_keys,
             return_intermediates=capture,
+            low_memory=low_memory,
         )
         if capture:
             (sdr_lat, gm_lat), inter = out

@@ -210,6 +210,7 @@ class StableDiffusionGMPipeline:
                 "guidance_rescale",
                 "eta",
                 "return_intermediates",
+                "low_memory",
             ),
         )
 
@@ -285,6 +286,7 @@ class StableDiffusionGMPipeline:
         eta: float = 0.0,
         step_keys: Optional[Array] = None,
         return_intermediates: bool = False,
+        low_memory: bool = False,
     ):
         if step_keys is None:
             step_keys = jax.random.split(
@@ -296,6 +298,7 @@ class StableDiffusionGMPipeline:
             guidance_rescale=guidance_rescale,
             eta=eta,
             return_intermediates=return_intermediates,
+            low_memory=low_memory,
         )
         args = (params, sdr_latent, prompt_embeds, negative_prompt_embeds,
                 latents)
@@ -325,16 +328,25 @@ class StableDiffusionGMPipeline:
         eta: float = 0.0,
         step_keys: Optional[Array] = None,
         return_intermediates: bool = False,
+        low_memory: bool = False,
     ):
         """The hot loop (reference stable_diffusion_gm.py:1040-1091) as a
         scan. Jit-closed over static step count and CFG structure. ``eta``
         reaches the scheduler when it supports it (DDIM — the reference's
-        prepare_extra_step_kwargs path, :610-625)."""
+        prepare_extra_step_kwargs path, :610-625). ``low_memory`` runs the
+        CFG pair as two sequential UNet passes (lax.map over a context
+        stack) instead of one doubled batch — peak activation HBM roughly
+        halves for large resolutions (see dual.py)."""
         do_cfg = negative_prompt_embeds is not None
         context = (
             jnp.concatenate([negative_prompt_embeds, prompt_embeds])
             if do_cfg
             else prompt_embeds
+        )
+        ctx_stack = (
+            jnp.stack([negative_prompt_embeds, prompt_embeds])
+            if (do_cfg and low_memory)
+            else None
         )
         sched = self.scheduler
         n_steps = self._num_steps(num_inference_steps)
@@ -355,14 +367,28 @@ class StableDiffusionGMPipeline:
             t = st.timestep
             lat_scaled = sched.scale_model_input(st, lat)
             model_in = jnp.concatenate([sdr_nhwc, lat_scaled], axis=-1)
-            if do_cfg:
-                model_in = jnp.concatenate([model_in, model_in], axis=0)
-            eps = unet_apply(model_in, t, context, channels_last=True)
-            if do_cfg:
-                eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
+            if do_cfg and low_memory:
+                eps2 = jax.lax.map(
+                    lambda c: unet_apply(model_in, t, c, channels_last=True),
+                    ctx_stack,
+                )
+                eps_uncond, eps_text = eps2[0], eps2[1]
                 eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
                 if guidance_rescale > 0.0:
                     eps = rescale_noise_cfg(eps, eps_text, guidance_rescale)
+            else:
+                if do_cfg:
+                    model_in = jnp.concatenate([model_in, model_in], axis=0)
+                eps = unet_apply(model_in, t, context, channels_last=True)
+                if do_cfg:
+                    eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
+                    eps = eps_uncond + guidance_scale * (
+                        eps_text - eps_uncond
+                    )
+                    if guidance_rescale > 0.0:
+                        eps = rescale_noise_cfg(
+                            eps, eps_text, guidance_rescale
+                        )
             st, lat = scheduler_step(sched, st, eps, lat, key=key, eta=eta)
             return (st, lat), (lat if return_intermediates else None)
 
@@ -573,6 +599,7 @@ class StableDiffusionGMPipeline:
         sigmas=None,
         clip_skip: Optional[int] = None,
         output_type: str = "pil",
+        low_memory: bool = False,
         callback_on_step_end=None,
         callback_on_step_end_tensor_inputs=None,
         callback=None,
@@ -631,6 +658,7 @@ class StableDiffusionGMPipeline:
             eta=eta,
             step_keys=step_keys,
             return_intermediates=has_cb,
+            low_memory=low_memory,
         )
         if has_cb:
             gm_latents, inter = out

@@ -95,6 +95,7 @@ def run_reference_stage2(
     noise_offset: float = 0.0,
     input_perturbation: float = 0.0,
     max_grad_norm: float = 1.0,
+    grad_accum: int = 1,
     dtype=None,
 ) -> List[Dict]:
     """Reference Stage-2 steps (train_gm_unet.py:1141-1207). Returns one
@@ -102,7 +103,15 @@ def run_reference_stage2(
     as torch-keyed numpy dicts. ``dtype=torch.float64`` turns this into the
     high-precision oracle used to separate fp32 roundoff from real
     divergence (pre-GroupNorm bias gradients cancel almost exactly, so
-    their fp32 values are conditioning noise on ANY implementation)."""
+    their fp32 values are conditioning noise on ANY implementation).
+
+    ``grad_accum > 1`` transcribes accelerate's accumulate() semantics
+    (train_gm_unet.py:1202-1219): zero_grad at window start, ``(loss/ga)``
+    backward per micro-batch (accelerate scales the loss so accumulated
+    grads are the window mean), clip + optimizer step only at window end
+    (``accelerator.sync_gradients``). Between syncs the record holds only
+    the loss — params are untouched and are re-recorded for the
+    frozen-inside-a-window assertion."""
     import torch
 
     vae = stack["vae"]
@@ -128,8 +137,9 @@ def run_reference_stage2(
         eps=1e-8,
     )
     records = []
-    for inp in step_inputs:
-        opt.zero_grad(set_to_none=True)
+    for idx, inp in enumerate(step_inputs):
+        if idx % grad_accum == 0:
+            opt.zero_grad(set_to_none=True)
         with torch.no_grad():
             # vae.encode(...).latent_dist.sample() * scaling_factor
             # (train_gm_unet.py:1156-1159) with injected posterior eps
@@ -154,31 +164,34 @@ def run_reference_stage2(
         loss = torch.nn.functional.mse_loss(
             pred.float(), gm_noise.float(), reduction="mean"
         )  # ε-target, :1182-1192
-        loss.backward()
-        grads = {
-            k: p.grad.detach().clone().numpy()
-            for k, p in unet.named_parameters()
+        # accelerate.backward scales by 1/gradient_accumulation_steps
+        (loss / grad_accum).backward()
+        rec = {
+            "loss": float(loss.detach()),
+            "params": {
+                k: p.detach().clone().numpy()
+                for k, p in unet.named_parameters()
+            },
         }
-        grad_norm = float(
-            torch.linalg.vector_norm(
-                torch.stack(
-                    [p.grad.detach().norm() for p in unet.parameters()]
+        if (idx + 1) % grad_accum == 0:  # accelerator.sync_gradients
+            rec["grads"] = {
+                k: p.grad.detach().clone().numpy()
+                for k, p in unet.named_parameters()
+            }
+            rec["grad_norm"] = float(
+                torch.linalg.vector_norm(
+                    torch.stack(
+                        [p.grad.detach().norm() for p in unet.parameters()]
+                    )
                 )
             )
-        )
-        torch.nn.utils.clip_grad_norm_(unet.parameters(), max_grad_norm)
-        opt.step()
-        records.append(
-            {
-                "loss": float(loss.detach()),
-                "grad_norm": grad_norm,
-                "grads": grads,
-                "params": {
-                    k: p.detach().clone().numpy()
-                    for k, p in unet.named_parameters()
-                },
+            torch.nn.utils.clip_grad_norm_(unet.parameters(), max_grad_norm)
+            opt.step()
+            rec["params"] = {
+                k: p.detach().clone().numpy()
+                for k, p in unet.named_parameters()
             }
-        )
+        records.append(rec)
     return records
 
 
@@ -196,9 +209,16 @@ def run_gmdx_stage2(
     noise_offset: float = 0.0,
     input_perturbation: float = 0.0,
     max_grad_norm: float = 1.0,
+    grad_accum: int = 1,
 ) -> List[Dict]:
     """gmdx Stage-2 steps via the production ``stage2_loss``/``make_optimizer``
-    (gmdx/train/stage2.py), RNG draws replaced by the shared inputs."""
+    (gmdx/train/stage2.py), RNG draws replaced by the shared inputs.
+
+    ``grad_accum > 1`` exercises the production optax.MultiSteps wrapper:
+    between syncs ``updates`` is all-zeros (params recorded each micro-step
+    to prove it); at sync the inner AdamW consumes the window-mean gradient
+    — recorded as the mean of the per-micro-batch grads, which is exactly
+    what MultiSteps' running mean hands the inner optimizer."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -215,6 +235,7 @@ def run_gmdx_stage2(
         noise_offset=noise_offset,
         input_perturbation=input_perturbation,
         max_grad_norm=max_grad_norm,
+        gradient_accumulation_steps=grad_accum,
     )
     optimizer = make_optimizer(config)
     acp = DDPMScheduler().alphas_cumprod
@@ -227,7 +248,8 @@ def run_gmdx_stage2(
     params = params_unet
     opt_state = optimizer.init(params)
     records = []
-    for inp in step_inputs:
+    window_grads = []
+    for idx, inp in enumerate(step_inputs):
         np_in = {k: jnp.asarray(v.numpy()) for k, v in inp.items()}
         sdr_latents = encode(np_in["sdr"], np_in["eps_sdr"])
         gm_latents = encode(np_in["gm"], np_in["eps_gm"])
@@ -255,14 +277,22 @@ def run_gmdx_stage2(
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        records.append(
-            {
-                "loss": float(loss),
-                "grad_norm": float(optax.global_norm(grads)),
-                "grads": export_unet_state_dict(jax.device_get(grads)),
-                "params": export_unet_state_dict(jax.device_get(params)),
-            }
-        )
+        window_grads.append(grads)
+        rec = {
+            "loss": float(loss),
+            "params": export_unet_state_dict(jax.device_get(params)),
+        }
+        if (idx + 1) % grad_accum == 0:
+            k = len(window_grads)
+            mean_grads = jax.tree.map(
+                lambda *g: sum(g) / k, *window_grads
+            )
+            window_grads = []
+            rec["grads"] = export_unet_state_dict(
+                jax.device_get(mean_grads)
+            )
+            rec["grad_norm"] = float(optax.global_norm(mean_grads))
+        records.append(rec)
     return records
 
 
@@ -303,6 +333,8 @@ def stage2_parity(
     noise_offset: float = 0.0,
     input_perturbation: float = 0.0,
     fp64_oracle: bool = True,
+    grad_accum: int = 1,
+    num_steps: int = 2,
 ) -> Dict:
     """Run both sides, return the comparison summary.
 
@@ -318,9 +350,11 @@ def stage2_parity(
 
     stack = make_torch_stack(seed)
     params = gmdx_params_from_torch(stack)
-    inputs = make_stage2_inputs(seed + 1)
+    inputs = make_stage2_inputs(seed + 1, num_steps=num_steps)
     kw = dict(
-        noise_offset=noise_offset, input_perturbation=input_perturbation
+        noise_offset=noise_offset,
+        input_perturbation=input_perturbation,
+        grad_accum=grad_accum,
     )
     oracle = None
     if fp64_oracle:
@@ -331,23 +365,30 @@ def stage2_parity(
     got = run_gmdx_stage2(params["unet"], params["vae"], inputs, **kw)
     out = {"steps": []}
     for i, (r, g) in enumerate(zip(ref, got)):
-        grad_psnr, grad_key = compare_tensor_dicts(r["grads"], g["grads"])
         param_psnr, param_key = compare_tensor_dicts(r["params"], g["params"])
         rec = {
+            "is_sync": "grads" in r,
             "loss_ref": r["loss"],
             "loss_gmdx": g["loss"],
             "loss_rel_err": abs(r["loss"] - g["loss"])
             / max(abs(r["loss"]), 1e-12),
-            "grad_norm_ref": r["grad_norm"],
-            "grad_norm_gmdx": g["grad_norm"],
-            "grad_flat_psnr_db": flat_psnr(r["grads"], g["grads"]),
-            "grad_psnr_db": grad_psnr,
-            "grad_psnr_worst_key": grad_key,
             "param_flat_psnr_db": flat_psnr(r["params"], g["params"]),
             "param_psnr_db": param_psnr,
             "param_psnr_worst_key": param_key,
         }
-        if oracle is not None:
+        if "grads" in r:
+            assert "grads" in g, "sync-boundary mismatch between sides"
+            grad_psnr, grad_key = compare_tensor_dicts(
+                r["grads"], g["grads"]
+            )
+            rec.update(
+                grad_norm_ref=r["grad_norm"],
+                grad_norm_gmdx=g["grad_norm"],
+                grad_flat_psnr_db=flat_psnr(r["grads"], g["grads"]),
+                grad_psnr_db=grad_psnr,
+                grad_psnr_worst_key=grad_key,
+            )
+        if oracle is not None and "grads" in r:
             o = oracle[i]["grads"]
             worst_deficit, worst_key, floor_at_worst = float("inf"), "", 0.0
             min_floor, min_floor_key, torch_at_min = float("inf"), "", 0.0

@@ -18,11 +18,13 @@ from gmdx.train.stage2 import (
     stage2_loss,
     make_train_step,
 )
+from gmdx.train.stage2 import make_ema_step as make_stage2_ema_step
 from gmdx.train.controlnet import (
     ControlNetState,
     ControlNetTrainConfig,
     init_controlnet_state,
     make_controlnet_train_step,
+    make_controlnet_ema_step,
 )
 from gmdx.train.stage1 import (
     Stage1Config,
@@ -53,6 +55,7 @@ __all__ = [
     "init_state",
     "stage2_loss",
     "make_train_step",
+    "make_stage2_ema_step",
     "Stage1Config",
     "Stage1State",
     "init_trainables",
@@ -66,4 +69,5 @@ __all__ = [
     "ControlNetState",
     "init_controlnet_state",
     "make_controlnet_train_step",
+    "make_controlnet_ema_step",
 ]

@@ -26,21 +26,37 @@ def make_manager(
     *,
     max_to_keep: Optional[int] = None,
     item_names: Optional[tuple] = None,
+    async_checkpointing: bool = False,
 ) -> ocp.CheckpointManager:
+    """``async_checkpointing=True`` (--async_checkpointing in the trainer
+    CLIs): orbax blocks only until the state is copied off the device, then
+    commits the write on a background thread — the train loop keeps
+    dispatching while the checkpoint streams to disk. Saves stay atomic
+    (tmp dir + rename), so a kill mid-write never yields a half checkpoint
+    that ``resolve_resume_step`` could pick up; call
+    ``manager.wait_until_finished()`` before relying on durability (the
+    CLIs do at exit). The reference's accelerate.save_state is fully
+    synchronous (train_gm_unet.py:1246)."""
     options = ocp.CheckpointManagerOptions(
         max_to_keep=max_to_keep,
         step_prefix="checkpoint",
         create=True,
-        enable_async_checkpointing=False,
+        enable_async_checkpointing=async_checkpointing,
     )
     return ocp.CheckpointManager(
         os.path.abspath(output_dir), options=options, item_names=item_names
     )
 
 
-def save_state(manager: ocp.CheckpointManager, step: int, state: Any) -> None:
+def save_state(
+    manager: ocp.CheckpointManager, step: int, state: Any, *, wait: bool = True
+) -> None:
+    """``wait=False`` pairs with an async manager: returns once the state
+    is safely copied to host (device buffers free to be donated by the next
+    train step), leaving the disk write in flight."""
     manager.save(step, args=ocp.args.StandardSave(state))
-    manager.wait_until_finished()
+    if wait:
+        manager.wait_until_finished()
 
 
 def restore_state(

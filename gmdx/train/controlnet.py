@@ -141,16 +141,14 @@ def make_controlnet_train_step(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
-        ema = (
-            ema_update(EMAConfig(), state.ema, params)
-            if state.ema is not None
-            else None
-        )
         gnorm = optax.global_norm(grads)
+        # EMA advances only at optimizer-sync boundaries via
+        # make_controlnet_ema_step — same accumulation semantics as stage 2
+        # (reference train_gm_unet.py:1210-1215, sync-gated EMA).
         new_state = ControlNetState(
             params=params,
             opt_state=opt_state,
-            ema=ema,
+            ema=state.ema,
             step=state.step + 1,
         )
         return new_state, {"loss": loss, "grad_norm": gnorm}
@@ -158,9 +156,26 @@ def make_controlnet_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_controlnet_ema_step(config: ControlNetTrainConfig):
+    """EMA advance at an optimizer-sync boundary (see stage2.make_ema_step)."""
+
+    def step_fn(state: ControlNetState) -> ControlNetState:
+        if state.ema is None:
+            return state
+        return ControlNetState(
+            params=state.params,
+            opt_state=state.opt_state,
+            ema=ema_update(EMAConfig(), state.ema, state.params),
+            step=state.step,
+        )
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
 __all__ = [
     "ControlNetTrainConfig",
     "ControlNetState",
     "init_controlnet_state",
     "make_controlnet_train_step",
+    "make_controlnet_ema_step",
 ]

@@ -24,7 +24,34 @@ import numpy as np
 
 logger = logging.getLogger("gmdx.train")
 
-_META_KEYS = ("__resolution",)
+_META_KEYS = ("__resolution", "__fingerprint")
+
+
+def latent_cache_fingerprint(dataset_files, n_samples, vae_params) -> str:
+    """Identity digest of (dataset, VAE weights) a cache was built from.
+
+    A cache built from a different parquet or different VAE weights has the
+    same shapes as the right one — nothing downstream would catch the swap
+    and training would silently run on wrong latents. Stored in the npz at
+    save time and verified at load (mirrors the resolution check)."""
+    import hashlib
+    import os
+
+    import jax
+
+    h = hashlib.sha256()
+    if isinstance(dataset_files, str):
+        dataset_files = [dataset_files]
+    for f in dataset_files:
+        h.update(os.path.abspath(f).encode())
+    h.update(str(int(n_samples)).encode())
+    leaves = jax.tree.leaves(vae_params)
+    probe = leaves[:3] + leaves[-3:] if len(leaves) > 6 else leaves
+    for leaf in probe:
+        arr = np.asarray(leaf, np.float32)
+        h.update(repr(arr.shape).encode())
+        h.update(arr.ravel()[:64].tobytes())
+    return h.hexdigest()[:16]
 
 
 def compute_latent_cache(
@@ -85,14 +112,22 @@ def compute_latent_cache(
 
 
 def save_latent_cache(path: str, cache: Dict[str, np.ndarray],
-                      *, resolution: int) -> None:
-    np.savez(path, __resolution=np.int64(resolution), **cache)
+                      *, resolution: int,
+                      fingerprint: Optional[str] = None) -> None:
+    meta = {"__resolution": np.int64(resolution)}
+    if fingerprint is not None:
+        meta["__fingerprint"] = np.array(fingerprint)
+    np.savez(path, **meta, **cache)
 
 
-def load_latent_cache(path: str, *, resolution: int) -> Dict[str, np.ndarray]:
+def load_latent_cache(
+    path: str, *, resolution: int, fingerprint: Optional[str] = None
+) -> Dict[str, np.ndarray]:
     """Load a precomputed cache; rejects a resolution mismatch loudly (a
     256^2 cache silently feeding a 512^2 run would train the wrong shapes
-    — actually it would fail shape checks, but fail here with the cause)."""
+    — actually it would fail shape checks, but fail here with the cause)
+    and a dataset/VAE fingerprint mismatch (same shapes, wrong latents —
+    nothing downstream would catch it)."""
     with np.load(path) as z:
         stored = int(z["__resolution"])
         if stored != resolution:
@@ -101,7 +136,28 @@ def load_latent_cache(path: str, *, resolution: int) -> Dict[str, np.ndarray]:
                 f"trains at {resolution}^2 — rebuild with "
                 f"scripts/tools/precompute_latents.py --resolution {resolution}"
             )
+        if fingerprint is not None:
+            if "__fingerprint" in z.files:
+                stored_fp = str(z["__fingerprint"])
+                if stored_fp != fingerprint:
+                    raise ValueError(
+                        f"latent cache {path} was built from a different "
+                        f"dataset or VAE (fingerprint {stored_fp} != "
+                        f"{fingerprint}) — rebuild with "
+                        f"scripts/tools/precompute_latents.py"
+                    )
+            else:
+                logger.warning(
+                    "latent cache %s has no dataset/VAE fingerprint "
+                    "(pre-r5 format) — cannot verify it matches this run",
+                    path,
+                )
         return {k: z[k] for k in z.files if k not in _META_KEYS}
 
 
-__all__ = ["compute_latent_cache", "save_latent_cache", "load_latent_cache"]
+__all__ = [
+    "compute_latent_cache",
+    "save_latent_cache",
+    "load_latent_cache",
+    "latent_cache_fingerprint",
+]

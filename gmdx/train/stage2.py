@@ -239,13 +239,18 @@ def make_train_step(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
-        ema = (
-            ema_update(EMAConfig(), state.ema, params)
-            if state.ema is not None
-            else None
-        )
+        # EMA is NOT advanced here: the reference steps EMA only when
+        # ``accelerator.sync_gradients`` — once per *optimizer update*, not
+        # per micro-batch (train_gm_unet.py:1210-1215). The CLI calls
+        # make_ema_step at each sync boundary instead. Under accumulation
+        # (optax.MultiSteps) ``updates`` is all-zeros between syncs and
+        # apply_updates is the identity, matching accelerate's no-op
+        # optimizer.step().
         new_state = Stage2State(
-            params=params, opt_state=opt_state, ema=ema, step=state.step + 1
+            params=params,
+            opt_state=opt_state,
+            ema=state.ema,
+            step=state.step + 1,
         )
         metrics = {
             "loss": loss,
@@ -262,6 +267,29 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_ema_step(config: Stage2Config):
+    """EMA advance at an optimizer-sync boundary.
+
+    The reference steps EMA once per accelerate sync
+    (train_gm_unet.py:1210-1215: ``if accelerator.sync_gradients: ...
+    ema_gm_unet.step(gm_unet.parameters())``) — so under gradient
+    accumulation the shadow sees each updated parameter vector exactly once
+    and the decay-ramp counter counts optimizer updates. The CLI calls this
+    at every sync boundary (mirrors stage1.make_ema_step)."""
+
+    def step_fn(state: Stage2State) -> Stage2State:
+        if state.ema is None:
+            return state
+        return Stage2State(
+            params=state.params,
+            opt_state=state.opt_state,
+            ema=ema_update(EMAConfig(), state.ema, state.params),
+            step=state.step,
+        )
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
 __all__ = [
     "Stage2Config",
     "Stage2State",
@@ -269,4 +297,5 @@ __all__ = [
     "init_state",
     "stage2_loss",
     "make_train_step",
+    "make_ema_step",
 ]

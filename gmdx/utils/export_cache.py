@@ -126,14 +126,41 @@ def cached_export(
     if cdir is None:
         return jax.jit(fn)
 
+    import time as _time
+
     path = os.path.join(cdir, f"{key}-{_full_key(key, args, kwargs)}.jaxexp")
     call = None
+    # When the exe tier will hit anyway, the StableHLO deserialize below is
+    # dead work (the loaded executable never consults it) — and at dual-UNet
+    # scale it is tens of seconds of flatbuffer parsing (warmup breakdown,
+    # BENCHNOTES r5). Probe the exe artifact first and skip the .jaxexp.
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("GMDX_EXE_CACHE", "1") == "1"
+    ):
+        exe_path = path[: -len(".jaxexp")] + ".jaxexe"
+        if os.path.exists(exe_path):
+            t0 = _time.perf_counter()
+            loaded = _load_exe(exe_path, verbose)
+            if loaded is not None:
+                if verbose:
+                    print(
+                        f"exe load took {_time.perf_counter() - t0:.1f}s "
+                        f"(jaxexp deserialize skipped)",
+                        flush=True,
+                    )
+                return loaded
     if os.path.exists(path):
         try:
+            t0 = _time.perf_counter()
             with open(path, "rb") as f:
                 exp = jax_export.deserialize(f.read())
             if verbose:
-                print(f"export cache hit: {path}", flush=True)
+                print(
+                    f"export cache hit: {path} "
+                    f"(deserialize {_time.perf_counter() - t0:.1f}s)",
+                    flush=True,
+                )
             call = exp.call
         except Exception as e:  # stale/corrupt artifact -> re-trace
             if verbose:
@@ -152,6 +179,7 @@ def cached_export(
             os.replace(tmp, path)
             if verbose:
                 print(f"export cache write: {path}", flush=True)
+            _prune_stale(cdir, key, os.path.basename(path))
         except OSError:
             pass
         call = exp.call
@@ -170,13 +198,38 @@ def cached_export(
         and os.environ.get("GMDX_EXE_CACHE", "1") == "1"
     ):
         exe_path = path[: -len(".jaxexp")] + ".jaxexe"
-        loaded = _load_exe(exe_path, verbose) if os.path.exists(exe_path) else None
-        if loaded is not None:
-            return loaded
+        # (A hit would have returned before the .jaxexp deserialize above;
+        # reaching here means the exe artifact is absent or unreadable.)
         compiled = jax.jit(call).lower(*args, **kwargs).compile()
         _store_exe(exe_path, compiled, verbose)
         return compiled
     return call
+
+
+def _prune_stale(cdir: str, key: str, current_basename: str) -> None:
+    """Delete superseded artifacts for the same label.
+
+    Keys digest the gmdx source tree, so every source edit strands the
+    previous artifact pair unreachable forever — serialized dual-UNet
+    executables are ~650 MB each and the dir grew to ~10 GB of dead files
+    over four rounds. When a NEW artifact for ``key`` is written, drop
+    other ``{key}-<digest>.*`` files (the exact ``{key}-`` prefix; labels
+    are distinct words, and longer labels sharing the prefix are protected
+    by requiring the remainder to be a bare 32-hex digest)."""
+    import re
+
+    current_digest = current_basename[len(key) + 1:].split(".", 1)[0]
+    pat = re.compile(re.escape(key) + r"-([0-9a-f]{32})\.(jaxexp|jaxexe)$")
+    try:
+        for name in os.listdir(cdir):
+            m = pat.fullmatch(name)
+            if m and m.group(1) != current_digest:
+                try:
+                    os.remove(os.path.join(cdir, name))
+                except OSError:
+                    pass
+    except OSError:
+        pass
 
 
 def _load_exe(exe_path: str, verbose: bool):

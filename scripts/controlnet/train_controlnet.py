@@ -66,6 +66,11 @@ def parse_args():
                    default="gmdx-controlnet")
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument(
+        "--async_checkpointing", action="store_true",
+        help="orbax async saves: the loop blocks only for the device->host "
+        "copy; the write streams in the background (atomic commit).",
+    )
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
     return p.parse_args()
 
@@ -99,6 +104,7 @@ def main():
     from gmdx.train import (
         ControlNetTrainConfig,
         init_controlnet_state,
+        make_controlnet_ema_step,
         make_controlnet_train_step,
         make_manager,
         make_optimizer,
@@ -186,9 +192,11 @@ def main():
         cfg, unet=unet, vae=vae, text_encoder=text, controlnet=controlnet,
         noise_scheduler=DDPMScheduler(), optimizer=optimizer,
     )
+    ema_step = make_controlnet_ema_step(cfg) if args.use_ema else None
 
     manager = make_manager(
-        args.output_dir, max_to_keep=args.checkpoints_total_limit
+        args.output_dir, max_to_keep=args.checkpoints_total_limit,
+        async_checkpointing=args.async_checkpointing,
     )
     global_step = 0
     resume_step = resolve_resume_step(
@@ -207,12 +215,20 @@ def main():
         len(dataset) if args.max_train_samples is None
         else min(args.max_train_samples, len(dataset))
     )
-    steps_per_epoch = max(
+    ga = args.gradient_accumulation_steps
+    batches_per_epoch = max(
         1, n_samples // (args.train_batch_size * max(1, n_dev))
     )
+    # max_train_steps counts optimizer UPDATES (sync-gated global_step),
+    # same accumulation semantics as the stage-2 trainer.
+    steps_per_epoch = max(1, -(-batches_per_epoch // ga))
     max_train_steps = args.max_train_steps or (
         args.num_train_epochs * steps_per_epoch
     )
+    # Resume fast-forward: a checkpoint at update S has consumed S*ga
+    # batches; skipping them + the fold_in(key, i) stream below makes the
+    # resumed trajectory identical to an uninterrupted run.
+    consumed_batches = global_step * ga
     loader = make_dataloader(
         dataset, tokenizer,
         batch_size=args.train_batch_size * n_dev,
@@ -222,6 +238,7 @@ def main():
         seed=args.seed or 0,
         num_workers=args.dataloader_num_workers,
         max_samples=args.max_train_samples,
+        skip_batches=consumed_batches,
         # Multi-host: per-host rows, assembled process-locally in the
         # prefetcher (sp keeps the global path — H-sharded leaves).
         process_shard=(args.shard_strategy != "sp"),
@@ -247,6 +264,7 @@ def main():
     )
     key = jax.random.key(args.seed or 0)
     t_last = time.time()
+    window_loss = []
 
     def host_batches():
         for batch in loader:
@@ -257,21 +275,33 @@ def main():
                 "input_ids": batch["input_ids"],
             }
 
-    for dev_batch in device_prefetch(
-        host_batches(), mesh, spatial=(args.shard_strategy == "sp"),
-        process_local=(args.shard_strategy != "sp"),
+    for i, dev_batch in enumerate(
+        device_prefetch(
+            host_batches(), mesh, spatial=(args.shard_strategy == "sp"),
+            process_local=(args.shard_strategy != "sp"),
+        ),
+        start=consumed_batches,
     ):
         if global_step >= max_train_steps:
             break
-        key, k_step = jax.random.split(key)
+        k_step = jax.random.fold_in(key, i)
         state, m = train_step(state, frozen_dev, dev_batch, k_step)
+        window_loss.append(m["loss"])
+        # Sync boundary: between syncs MultiSteps emits zero updates and
+        # global_step/EMA/logging/checkpointing do not advance (stage-2
+        # accumulation semantics).
+        if (i + 1) % ga != 0:
+            continue
         global_step += 1
+        if ema_step is not None:
+            state = ema_step(state)
+        last_window, window_loss = window_loss, []
         if global_step % 10 == 0 or global_step == 1:
-            loss = float(m["loss"])
+            loss = sum(float(x) for x in last_window) / len(last_window)
             dt = time.time() - t_last
             t_last = time.time()
             sps = (
-                10 * args.train_batch_size * n_dev / dt
+                10 * ga * args.train_batch_size * n_dev / dt
                 if global_step > 1 else 0
             )
             metrics_log.log(global_step, {
@@ -282,7 +312,10 @@ def main():
             logger.info("step %d loss %.5f %.1f samples/s",
                         global_step, loss, sps)
         if global_step % args.checkpointing_steps == 0:
-            save_state(manager, global_step, jax.device_get(state))
+            if args.async_checkpointing:
+                save_state(manager, global_step, state, wait=False)
+            else:
+                save_state(manager, global_step, jax.device_get(state))
             logger.info("checkpoint at step %d", global_step)
 
     metrics_log.close()

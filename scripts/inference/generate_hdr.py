@@ -74,6 +74,13 @@ def parse_args():
         "--tp_size. 1 = single-chip (default).",
     )
     parser.add_argument(
+        "--low_memory", action="store_true",
+        help="Sequential CFG: run the uncond/cond UNet passes one after "
+        "another instead of one doubled batch — peak activation HBM "
+        "roughly halves, fitting larger batch/resolution combinations on "
+        "one chip (e.g. 1024^2 batch 4 on 16 GB) at some throughput cost.",
+    )
+    parser.add_argument(
         "--aot_cache", action="store_true",
         help="Persist the denoise program (serialized trace + compiled TPU "
         "executable, .cache/jax_export/) keyed on source+shapes+settings: "
@@ -208,6 +215,7 @@ def main():
             key=k_pipe,
             num_inference_steps=args.num_inference_steps,
             output_type="latent",
+            low_memory=args.low_memory,
         )
 
         decoded_sdr = np.asarray(pipe.decode_latents(params, sdr_latent))

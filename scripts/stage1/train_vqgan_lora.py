@@ -109,6 +109,11 @@ def parse_args():
     p.add_argument("--log_grad_norm_steps", type=int, default=500)
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument(
+        "--async_checkpointing", action="store_true",
+        help="orbax async saves: the loop blocks only for the device->host "
+        "copy; the write streams in the background (atomic commit).",
+    )
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
     p.add_argument("--val_images_dir", type=str, default=None)
     p.add_argument("--validation_images", type=str, default=None, nargs="+")
@@ -414,7 +419,8 @@ def main():
             return sdr01, gm, hdr, tmo, target01
 
     manager = make_manager(args.output_dir,
-                           max_to_keep=args.checkpoints_total_limit)
+                           max_to_keep=args.checkpoints_total_limit,
+                           async_checkpointing=args.async_checkpointing)
     global_step = 0
     resume_step = resolve_resume_step(args.output_dir, args.resume_from_checkpoint)
     if resume_step is not None:
@@ -556,7 +562,10 @@ def main():
             logger.info("step %d [%s] loss %.5f", global_step, tag,
                         scalars[f"step_{tag}_loss"])
         if global_step % args.checkpointing_steps == 0:
-            save_state(manager, global_step, jax.device_get(state))
+            if args.async_checkpointing:
+                save_state(manager, global_step, state, wait=False)
+            else:
+                save_state(manager, global_step, jax.device_get(state))
         if args.val_images_dir and global_step % args.validation_steps == 0:
             host_state = jax.device_get(state)
             eff = effective_vae_params(cfg, vae_params, host_state.trainables)
@@ -565,6 +574,7 @@ def main():
                            metrics_log=metrics_log)
 
     # Final artifacts: finetuned_VAE (merged) + discriminator (:1294-1301).
+    manager.wait_until_finished()  # drain any in-flight async checkpoint
     host_state = jax.device_get(state)
     trained = (
         host_state.ema.shadow if host_state.ema is not None

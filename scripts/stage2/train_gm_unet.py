@@ -126,6 +126,13 @@ def parse_args():
     p.add_argument("--tracker_project_name", type=str, default="gmdx-stage2")
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument(
+        "--async_checkpointing", action="store_true",
+        help="orbax async saves: the train loop blocks only for the "
+        "device->host copy; the disk write streams on a background thread "
+        "(atomic commit — a kill mid-write cannot corrupt resume). The "
+        "reference's accelerate.save_state is fully synchronous.",
+    )
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
     p.add_argument("--validation_prompts", type=str, default=None, nargs="+")
     p.add_argument("--validation_prompt_file", type=str, default=None)
@@ -147,6 +154,19 @@ def parse_args():
         )
     if args.train_metadata is None and args.dataset_name is None:
         p.error("need --train_metadata (parquet) or --dataset_name")
+    if args.latent_cache_path and not args.cache_latents:
+        args.cache_latents = True  # the path implies the cached path
+    if args.cache_latents and (args.random_flip or not args.center_crop):
+        # Applies to the precomputed-cache path too: a cache built by
+        # precompute_latents.py holds center-crop/no-flip latents, so
+        # --random_flip with --latent_cache_path would be silently ignored
+        # rather than applied. Validate at parse time, BEFORE any output
+        # dirs are created, so failed invocations leave no artifacts.
+        p.error(
+            "--cache_latents/--latent_cache_path require --center_crop and "
+            "no --random_flip (latents are cached for one deterministic "
+            "preprocess per sample)"
+        )
     if args.push_to_hub:
         # Reject loudly rather than parse-and-ignore: this build has no
         # network egress, so silently skipping the reference's upload
@@ -221,11 +241,18 @@ def build_latent_cache(dataset, tokenizer, vae, vae_params, args, batch_size):
     given (precomputed by scripts/tools/precompute_latents.py — the decode
     AND encode passes are skipped entirely), else one in-RAM pass
     (gmdx/train/latent_cache.py)."""
-    from gmdx.train.latent_cache import compute_latent_cache, load_latent_cache
+    from gmdx.train.latent_cache import (
+        compute_latent_cache,
+        latent_cache_fingerprint,
+        load_latent_cache,
+    )
 
     if args.latent_cache_path:
         cache = load_latent_cache(
-            args.latent_cache_path, resolution=args.resolution
+            args.latent_cache_path, resolution=args.resolution,
+            fingerprint=latent_cache_fingerprint(
+                args.train_metadata, len(dataset), vae_params
+            ),
         )
         if args.max_train_samples:
             cache = {
@@ -295,6 +322,7 @@ def main():
         init_state,
         make_manager,
         make_optimizer,
+        make_stage2_ema_step,
         make_train_step,
         resolve_resume_step,
         restore_state,
@@ -353,9 +381,14 @@ def main():
         len(dataset) if args.max_train_samples is None
         else min(args.max_train_samples, len(dataset))
     )
-    steps_per_epoch = max(
+    ga = args.gradient_accumulation_steps
+    batches_per_epoch = max(
         1, n_samples // (args.train_batch_size * max(1, n_dev))
     )
+    # num_update_steps_per_epoch = ceil(len(dataloader) / grad_accum)
+    # (train_gm_unet.py:1066) — max_train_steps counts optimizer UPDATES,
+    # the reference's sync-gated global_step unit (:1219).
+    steps_per_epoch = max(1, -(-batches_per_epoch // ga))
     max_train_steps = args.max_train_steps or (
         args.num_train_epochs * steps_per_epoch
     )
@@ -387,9 +420,11 @@ def main():
         cfg, unet=unet, vae=vae, text_encoder=text,
         noise_scheduler=DDPMScheduler(), optimizer=optimizer,
     )
+    ema_step = make_stage2_ema_step(cfg) if args.use_ema else None
 
     manager = make_manager(
-        args.output_dir, max_to_keep=args.checkpoints_total_limit
+        args.output_dir, max_to_keep=args.checkpoints_total_limit,
+        async_checkpointing=args.async_checkpointing,
     )
     global_step = 0
     resume_step = resolve_resume_step(args.output_dir, args.resume_from_checkpoint)
@@ -407,28 +442,21 @@ def main():
         )
 
     global_bs = args.train_batch_size * n_dev
-    if args.latent_cache_path and not args.cache_latents:
-        args.cache_latents = True  # the path implies the cached path
-        logger.info("--latent_cache_path given: enabling --cache_latents")
+    # Resume fast-forward: global_step counts optimizer UPDATES and
+    # checkpoints land on sync boundaries, so a checkpoint at step S has
+    # consumed exactly S*ga dataloader batches. Skipping them (and starting
+    # the batch index there, below) makes the resumed stream — data order,
+    # RNG keys, sync phase — bit-identical to an uninterrupted run. Beats
+    # the reference, which only resumes the epoch loop at first_epoch and
+    # re-consumes the partial epoch (train_gm_unet.py:1122-1129).
+    consumed_batches = global_step * ga
     if args.cache_latents:
-        if not args.latent_cache_path and (
-            args.random_flip or not args.center_crop
-        ):
-            raise SystemExit(
-                "--cache_latents requires --center_crop and no "
-                "--random_flip (latents are cached for one deterministic "
-                "preprocess per sample)"
-            )
         cache = build_latent_cache(
             dataset, tokenizer, vae, bundle["params"]["vae"], args, global_bs
         )
         loader = cached_latent_loader(
             cache, global_bs, seed=args.seed or 0,
-            # Resume fast-forward: each train step consumes one batch, so a
-            # checkpoint at step S has consumed exactly S batches. Beats the
-            # reference, which only resumes the epoch loop at first_epoch
-            # and re-consumes the partial epoch (train_gm_unet.py:1122-1129).
-            skip_batches=global_step,
+            skip_batches=consumed_batches,
         )
     else:
         loader = make_dataloader(
@@ -441,8 +469,8 @@ def main():
             seed=args.seed or 0,
             num_workers=args.dataloader_num_workers,
             max_samples=args.max_train_samples,
-            # Resume fast-forward (see cached_latent_loader note above).
-            skip_batches=global_step,
+            # Resume fast-forward (see consumed_batches note above).
+            skip_batches=consumed_batches,
             # Multi-host: each host decodes only its own rows of the global
             # batch (seed-derived order, no cross-host coordination) and the
             # prefetcher assembles the global array process-locally below.
@@ -471,6 +499,7 @@ def main():
     )
     key = jax.random.key(args.seed or 0)
     t_last = time.time()
+    window_loss = []
 
     def host_batches():
         for batch in loader:
@@ -490,24 +519,50 @@ def main():
     # leaves land batch+H sharded and GSPMD propagates the spatial split.
     # process_local matches the loader: the parquet path yields per-host
     # rows (process_shard above); the latent cache yields global batches.
-    for dev_batch in device_prefetch(
-        host_batches(), mesh, spatial=(args.shard_strategy == "sp"),
-        process_local=(args.shard_strategy != "sp" and not args.cache_latents),
+    # start=consumed_batches: i is the GLOBAL dataloader index, so the
+    # sync-boundary phase and the fold_in key stream continue where an
+    # interrupted run left off.
+    for i, dev_batch in enumerate(
+        device_prefetch(
+            host_batches(), mesh, spatial=(args.shard_strategy == "sp"),
+            process_local=(
+                args.shard_strategy != "sp" and not args.cache_latents
+            ),
+        ),
+        start=consumed_batches,
     ):
         if global_step >= max_train_steps:
             break
-        # fold_in(key, step), not a split chain: O(1) resume fast-forward —
-        # a run resumed at step S draws the same noise/timesteps step S
-        # would have seen uninterrupted (pairs with the loader skip above).
-        k_step = jax.random.fold_in(key, global_step)
+        # fold_in(key, batch index), not a split chain: O(1) resume
+        # fast-forward — a run resumed at step S draws the same
+        # noise/timesteps its micro-batches would have seen uninterrupted
+        # (pairs with the loader skip above).
+        k_step = jax.random.fold_in(key, i)
         state, m = train_step(state, frozen_dev, dev_batch, k_step)
+        # The reference's logged train_loss is the window mean
+        # (train_gm_unet.py:1200: train_loss += avg_loss/ga, reset at sync).
+        # Device scalars are collected lazily; float() only on the log
+        # cadence so accumulation never blocks dispatch.
+        window_loss.append(m["loss"])
+        # Optimizer sync boundary: with accumulation the micro-steps between
+        # syncs emit zero updates (MultiSteps) and the reference neither
+        # advances global_step, steps EMA, logs, nor checkpoints there
+        # (train_gm_unet.py:1210-1248, `if accelerator.sync_gradients`).
+        if (i + 1) % ga != 0:
+            continue
         global_step += 1
+        if ema_step is not None:
+            state = ema_step(state)
+        last_window, window_loss = window_loss, []
 
         if global_step % 10 == 0 or global_step == 1:
-            loss = float(m["loss"])
+            loss = sum(float(x) for x in last_window) / len(last_window)
             dt = time.time() - t_last
             t_last = time.time()
-            sps = 10 * args.train_batch_size * n_dev / dt if global_step > 1 else 0
+            sps = (
+                10 * ga * args.train_batch_size * n_dev / dt
+                if global_step > 1 else 0
+            )
             scalars = {"train_loss": loss, "grad_norm": float(m["grad_norm"]),
                        "samples_per_sec": sps}
             scalars.update({
@@ -520,7 +575,13 @@ def main():
                 global_step, loss, float(m["grad_norm"]), sps,
             )
         if global_step % args.checkpointing_steps == 0:
-            save_state(manager, global_step, jax.device_get(state))
+            if args.async_checkpointing:
+                # Device arrays straight to orbax: it copies them off-device
+                # (safe vs the next step's donation) and writes in the
+                # background — no blocking host gather.
+                save_state(manager, global_step, state, wait=False)
+            else:
+                save_state(manager, global_step, jax.device_get(state))
             logger.info("saved state to checkpoint-%d", global_step)
         if (
             args.validation_image_dir
@@ -544,6 +605,7 @@ def main():
             )
 
     # Final save as a complete GM pipeline (reference :1277-1295).
+    manager.wait_until_finished()  # drain any in-flight async checkpoint
     host_state = jax.device_get(state)
     final_unet_params = (
         host_state.ema.shadow if host_state.ema is not None else host_state.params

@@ -362,24 +362,45 @@ def config5a() -> dict:
         "metric": "dual-UNet text-to-HDR 1024^2 50-step throughput",
         "unit": "images/sec/chip",
     }
+    best = None
     for batch in (1, 2, 4):
         env = dict(os.environ)
         env.update(
             GMDX_BENCH_RES="1024", GMDX_BENCH_BATCH=str(batch),
             GMDX_BENCH_REPEATS="3", GMDX_BENCH_KERNEL_PSNR="0",
         )
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True, timeout=7200, cwd=REPO,
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env, capture_output=True, text=True, timeout=7200,
+                cwd=REPO,
+            )
+            lines = [
+                l for l in proc.stdout.splitlines() if l.startswith("{")
+            ]
+            if proc.returncode != 0 or not lines:
+                # batch 4 OOMs single-chip at 1024^2 (BENCH_extra 5a note);
+                # record the failure instead of crashing the whole sweep.
+                tail = (proc.stderr or proc.stdout)[-400:]
+                out[f"batch{batch}"] = (
+                    "OOM" if "RESOURCE_EXHAUSTED" in tail else
+                    f"failed (rc={proc.returncode})"
+                )
+                continue
+            r = json.loads(lines[-1])
+        except (subprocess.TimeoutExpired, json.JSONDecodeError) as e:
+            out[f"batch{batch}"] = f"failed ({type(e).__name__})"
+            continue
         out[f"batch{batch}"] = r["value"]
-        out[f"batch{batch}_sec_per_frame"] = (
+        # throughput is img/s; a frame completes every 1/value seconds
+        out[f"batch{batch}_sec_per_batch"] = (
             round(batch / r["value"], 2) if r["value"] else None
         )
-    out["value"] = out["batch4"]
-    out["sec_per_frame"] = out["batch1_sec_per_frame"]
+        if r["value"] and (best is None or r["value"] > best):
+            best = r["value"]
+    # headline = the best SUCCESSFUL batch's throughput (the serving max)
+    out["value"] = best
+    out["sec_per_frame"] = round(1 / best, 2) if best else None
     return out
 
 

@@ -48,7 +48,11 @@ def main():
     enable_compilation_cache()
     from gmdx.data import ParquetImageDataset
     from gmdx.io.pipeline import load_pipeline
-    from gmdx.train.latent_cache import compute_latent_cache, save_latent_cache
+    from gmdx.train.latent_cache import (
+        compute_latent_cache,
+        latent_cache_fingerprint,
+        save_latent_cache,
+    )
 
     bundle = load_pipeline(args.pretrained_model_name_or_path)
     dataset = ParquetImageDataset(args.train_metadata)
@@ -62,7 +66,12 @@ def main():
     )
     dt = time.time() - t0
     n = cache["input_ids"].shape[0]
-    save_latent_cache(args.out, cache, resolution=args.resolution)
+    save_latent_cache(
+        args.out, cache, resolution=args.resolution,
+        fingerprint=latent_cache_fingerprint(
+            args.train_metadata, len(dataset), bundle["params"]["vae"]
+        ),
+    )
     mb = sum(v.nbytes for v in cache.values()) / 1e6
     print(
         f"cached {n} samples at {args.resolution}^2 in {dt:.1f}s "

@@ -172,6 +172,91 @@ def build_train_step(batch: int, res: int, dtype):
     return fn, (state, frozen, batch_data, jax.random.key(6))
 
 
+def _build_stage1(batch: int, res: int, dtype, kind: str):
+    """Stage-1 GAN hot loop at production scale (VERDICT r4 weak #7 — the
+    one hot loop never profiled): SD-1.5 VAE + LoRA r=64, Paella
+    discriminator (depth 6, hidden 512), VGG19 perceptual, the same stack
+    the 4.43 pairs/s/chip BENCHNOTES row measured. ``kind`` selects the
+    generator or discriminator step."""
+    import jax
+    import jax.numpy as jnp
+
+    from gmdx.models import (
+        AutoencoderKL,
+        Discriminator,
+        SD15_VAE_CONFIG,
+        VGG19Features,
+    )
+    from gmdx.ops import fix_mulog_tmo
+    from gmdx.train import (
+        Stage1Config,
+        init_trainables,
+        make_adamw,
+        make_disc_step,
+        make_gen_step,
+        get_lr_schedule,
+    )
+    from gmdx.train.stage1 import Stage1State
+
+    vae = AutoencoderKL(SD15_VAE_CONFIG, dtype=dtype)
+    disc = Discriminator(dtype=dtype)
+    vgg = VGG19Features(dtype=dtype)
+    vae_params = jax.jit(vae.init)(
+        jax.random.key(0), jnp.zeros((1, 3, 64, 64)), jax.random.key(1)
+    )["params"]
+    disc_vars = jax.jit(disc.init)(
+        jax.random.key(2), jnp.zeros((1, 3, res, res))
+    )
+    vgg_params = jax.jit(vgg.init)(
+        jax.random.key(3), jnp.zeros((1, 3, 224, 224))
+    )["params"]
+    cfg = Stage1Config()
+    gen_opt = make_adamw(get_lr_schedule("constant", 1e-4))
+    disc_opt = make_adamw(get_lr_schedule("constant", 1e-4))
+    trainables = init_trainables(jax.random.key(4), vae_params, cfg)
+    state = Stage1State(
+        trainables=trainables,
+        disc_params=disc_vars["params"],
+        disc_vars={k: v for k, v in disc_vars.items() if k != "params"},
+        opt_state=gen_opt.init(trainables),
+        disc_opt_state=disc_opt.init(disc_vars["params"]),
+        ema=None,
+        step=jnp.zeros((), jnp.int32),
+    )
+    if kind == "gen":
+        step = make_gen_step(
+            cfg, vae=vae, discriminator=disc, vgg=vgg, tmo_fn=fix_mulog_tmo,
+            optimizer=gen_opt, donate=False,
+        )
+    else:
+        step = make_disc_step(
+            cfg, vae=vae, discriminator=disc, tmo_fn=fix_mulog_tmo,
+            optimizer=disc_opt, donate=False,
+        )
+    frozen = {"vae": vae_params, "vgg": vgg_params}
+    batch_data = {
+        "pixel_values": jax.random.uniform(
+            jax.random.key(5), (batch, 3, res, res)) * 2 - 1,
+        "miss_pixel_values": jax.random.uniform(
+            jax.random.key(6), (batch, 3, res, res)) * 2 - 1,
+    }
+
+    def fn(state, frozen, batch_data, key):
+        new_state, metrics = step(state, frozen, batch_data, key)
+        first = metrics.get("gen_loss", metrics.get("disc_loss"))
+        return first, new_state  # keep bwd+optimizer live (no DCE)
+
+    return fn, (state, frozen, batch_data, jax.random.key(7))
+
+
+def build_stage1_gen(batch: int, res: int, dtype):
+    return _build_stage1(batch, res, dtype, "gen")
+
+
+def build_stage1_disc(batch: int, res: int, dtype):
+    return _build_stage1(batch, res, dtype, "disc")
+
+
 def build_unet_grad(batch: int, res: int, dtype):
     """UNet fwd+bwd only (no optimizer state — fits without donation)."""
     import jax
@@ -218,6 +303,8 @@ WORKLOADS = {
     "vae_decode": build_vae_decode,
     "train_step": build_train_step,
     "unet_grad": build_unet_grad,
+    "stage1_gen": build_stage1_gen,
+    "stage1_disc": build_stage1_disc,
 }
 
 

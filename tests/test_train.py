@@ -108,6 +108,30 @@ class TestCheckpoint:
         assert resolve_resume_step(str(tmp_path), "/x/checkpoint-500") == 500
         assert resolve_resume_step(str(tmp_path), "123") == 123
 
+    def test_async_save_restore(self, tmp_path):
+        """--async_checkpointing: save returns with the write in flight
+        (device buffers already copied off — safe vs donation); after
+        wait_until_finished the checkpoint restores bit-identical and
+        'latest' resolution sees it."""
+        out = str(tmp_path / "ckpts_async")
+        mgr = make_manager(out, async_checkpointing=True)
+        state = {"w": jnp.arange(8, dtype=jnp.float32) * 1.5,
+                 "step": jnp.array(7)}
+        save_state(mgr, 7, state, wait=False)
+        # mutate the (host mirror of the) live state after save returns —
+        # the in-flight write must have its own copy
+        state["w"] = state["w"] + 100.0
+        mgr.wait_until_finished()
+        assert resolve_resume_step(out, "latest") == 7
+        abstract = {
+            "w": jax.ShapeDtypeStruct((8,), jnp.float32),
+            "step": jax.ShapeDtypeStruct((), jnp.int32),
+        }
+        restored = restore_state(mgr, 7, abstract)
+        np.testing.assert_array_equal(
+            restored["w"], np.arange(8, dtype=np.float32) * 1.5
+        )
+
 
 @pytest.fixture(scope="module")
 def stage2_setup():
@@ -149,10 +173,72 @@ class TestStage2:
         assert np.isfinite(float(m1["loss"]))
         assert float(m1["grad_norm"]) > 0
         assert int(state.step) == 1
-        assert state.ema is not None and int(state.ema.step) == 1
+        # EMA is sync-gated (reference train_gm_unet.py:1210-1215): the
+        # train step leaves it untouched; the CLI advances it explicitly.
+        assert state.ema is not None and int(state.ema.step) == 0
         # Same batch+key again: loss should drop after one update.
         state, m2 = step(state, frozen, batch, jax.random.key(0))
         assert float(m2["loss"]) < float(m1["loss"])
+
+    def test_ema_steps_only_at_sync(self, stage2_setup):
+        """EMA advances via make_stage2_ema_step at sync boundaries
+        (reference train_gm_unet.py:1210-1215), not inside the train step —
+        the stage-2 analog of TestStage1.test_ema_steps_only_at_sync."""
+        from gmdx.train import make_stage2_ema_step
+
+        unet, vae, text, unet_params, frozen, batch = stage2_setup
+        cfg = Stage2Config(learning_rate=1e-3, use_ema=True)
+        opt = make_optimizer(cfg)
+        state = init_state(cfg, unet_params, opt)
+        step = make_train_step(
+            cfg, unet=unet, vae=vae, text_encoder=text,
+            noise_scheduler=DDPMScheduler(), optimizer=opt, donate=False,
+        )
+        shadow0 = state.ema.shadow
+        ns, _ = step(state, frozen, batch, jax.random.key(0))
+        assert int(ns.ema.step) == 0  # untouched by the train step
+        ns2 = make_stage2_ema_step(cfg)(ns)
+        assert int(ns2.ema.step) == 1
+        moved = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), ns2.ema.shadow, shadow0
+        )
+        assert max(jax.tree.leaves(moved)) > 0
+
+    def test_grad_accum_multisteps(self, stage2_setup):
+        """Stage-2 ga=2 semantics (VERDICT r4 missing #1): micro-step 1
+        leaves params frozen; same batch+key twice makes the window-mean
+        gradient equal the single-batch gradient, so the post-window params
+        must match one plain ga=1 step."""
+        unet, vae, text, unet_params, frozen, batch = stage2_setup
+        cfg1 = Stage2Config(learning_rate=1e-3)
+        opt1 = make_optimizer(cfg1)
+        plain = make_train_step(
+            cfg1, unet=unet, vae=vae, text_encoder=text,
+            noise_scheduler=DDPMScheduler(), optimizer=opt1, donate=False,
+        )
+        cfg2 = Stage2Config(
+            learning_rate=1e-3, gradient_accumulation_steps=2
+        )
+        opt2 = make_optimizer(cfg2)
+        accum = make_train_step(
+            cfg2, unet=unet, vae=vae, text_encoder=text,
+            noise_scheduler=DDPMScheduler(), optimizer=opt2, donate=False,
+        )
+        state1 = init_state(cfg1, unet_params, opt1)
+        state2 = init_state(cfg2, unet_params, opt2)
+        key = jax.random.key(0)
+        s1, _ = accum(state2, frozen, batch, key)
+        same = jax.tree.map(
+            lambda a, b: bool((a == b).all()), unet_params, s1.params
+        )
+        assert all(jax.tree.leaves(same)), "micro-step 1 must not update"
+        s2, _ = accum(s1, frozen, batch, key)
+        ref, _ = plain(state1, frozen, batch, key)
+        close = jax.tree.map(
+            lambda a, b: bool(np.allclose(a, b, rtol=1e-5, atol=1e-7)),
+            s2.params, ref.params,
+        )
+        assert all(jax.tree.leaves(close))
 
     def test_snr_gamma_changes_loss(self, stage2_setup):
         unet, vae, text, unet_params, frozen, batch = stage2_setup

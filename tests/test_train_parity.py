@@ -54,6 +54,33 @@ def test_stage2_train_step_parity_noise_offset_perturbation():
         assert step["param_flat_psnr_db"] > 80.0
 
 
+def test_stage2_train_step_parity_grad_accum():
+    """ga=2: gmdx's optax.MultiSteps accumulation vs the accelerate
+    accumulate() transcription (zero_grad at window start, (loss/ga)
+    backward per micro-batch, clip + AdamW step only at sync —
+    train_gm_unet.py:1202-1219). Four micro-batches = two optimizer
+    updates; params must be frozen inside each window and the sync-step
+    window-mean gradient and post-update params must match the reference
+    (VERDICT r4 missing #1)."""
+    import numpy as np
+
+    from gmdx.refbridge.train_parity import stage2_parity
+
+    out = stage2_parity(0, grad_accum=2, num_steps=4, fp64_oracle=False)
+    syncs = [s["is_sync"] for s in out["steps"]]
+    assert syncs == [False, True, False, True]
+    for step in out["steps"]:
+        assert step["loss_rel_err"] < 1e-4
+        # params identical between sides at EVERY micro-step: frozen
+        # inside a window, matching after each sync update
+        assert step["param_flat_psnr_db"] > 80.0
+        if step["is_sync"]:
+            assert step["grad_flat_psnr_db"] > 80.0
+            assert np.isclose(
+                step["grad_norm_ref"], step["grad_norm_gmdx"], rtol=1e-3
+            )
+
+
 def test_stage1_gan_step_parity():
     from gmdx.refbridge.stage1_oracle import stage1_parity
 
