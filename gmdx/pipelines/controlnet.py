@@ -54,6 +54,7 @@ class StableDiffusionControlNetHDRPipeline(StableDiffusionDualUNetPipeline):
                 "guidance_rescale",
                 "eta",
                 "return_intermediates",
+                "low_memory",
             ),
         )
 
@@ -72,6 +73,7 @@ class StableDiffusionControlNetHDRPipeline(StableDiffusionDualUNetPipeline):
         eta: float = 0.0,
         step_keys: Optional[Array] = None,
         return_intermediates: bool = False,
+        low_memory: bool = False,
     ):
         # Resolve the __call__-stashed control kwargs OUTSIDE the jitted
         # impl (a closure read inside jit would bake the first control
@@ -88,6 +90,7 @@ class StableDiffusionControlNetHDRPipeline(StableDiffusionDualUNetPipeline):
                 guidance_scale=guidance_scale,
                 guidance_rescale=guidance_rescale, eta=eta,
                 step_keys=step_keys, return_intermediates=return_intermediates,
+                low_memory=low_memory,
             )
         if step_keys is None:
             step_keys = jax.random.split(
@@ -103,6 +106,7 @@ class StableDiffusionControlNetHDRPipeline(StableDiffusionDualUNetPipeline):
             eta=eta,
             step_keys=step_keys,
             return_intermediates=return_intermediates,
+            low_memory=low_memory,
         )
 
     def _denoise_control_impl(
@@ -120,12 +124,20 @@ class StableDiffusionControlNetHDRPipeline(StableDiffusionDualUNetPipeline):
         eta: float = 0.0,
         step_keys: Optional[Array] = None,
         return_intermediates: bool = False,
+        low_memory: bool = False,
     ):
         do_cfg = negative_prompt_embeds is not None
         context = (
             jnp.concatenate([negative_prompt_embeds, prompt_embeds])
             if do_cfg
             else prompt_embeds
+        )
+        # Sequential CFG (see dual.py denoise_dual low_memory): one batch-B
+        # ControlNet+UNet pass per context instead of a CFG-doubled batch.
+        ctx_stack = (
+            jnp.stack([negative_prompt_embeds, prompt_embeds])
+            if (do_cfg and low_memory)
+            else None
         )
         sched = self.scheduler
         acp = sched.alphas_cumprod
@@ -146,7 +158,7 @@ class StableDiffusionControlNetHDRPipeline(StableDiffusionDualUNetPipeline):
             self.controlnet.apply, {"params": params["controlnet"]}
         )
         ctrl = jnp.transpose(control_image, (0, 2, 3, 1))
-        if do_cfg:
+        if do_cfg and not low_memory:
             ctrl = jnp.concatenate([ctrl, ctrl], axis=0)
 
         def sched_step(st, eps, lat, key):
@@ -158,23 +170,46 @@ class StableDiffusionControlNetHDRPipeline(StableDiffusionDualUNetPipeline):
 
             lat_in = sched.scale_model_input(sdr_st, lat)
             gm_lat = sched.scale_model_input(gm_st, gm_lat)
-            if do_cfg:
-                lat_in = jnp.concatenate([lat_in, lat_in], axis=0)
-            down_res, mid_res = cnet(
-                lat_in, t, context, ctrl, conditioning_scale,
-                channels_last=True,
-            )
-            eps = sdr_unet(
-                lat_in, t, context,
-                down_block_additional_residuals=down_res,
-                mid_block_additional_residual=mid_res,
-                channels_last=True,
-            )
-            if do_cfg:
-                eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
+            if do_cfg and low_memory:
+                def one_pass(c):
+                    down_res, mid_res = cnet(
+                        lat_in, t, c, ctrl, conditioning_scale,
+                        channels_last=True,
+                    )
+                    return sdr_unet(
+                        lat_in, t, c,
+                        down_block_additional_residuals=down_res,
+                        mid_block_additional_residual=mid_res,
+                        channels_last=True,
+                    )
+
+                eps2 = jax.lax.map(one_pass, ctx_stack)
+                eps_uncond, eps_text = eps2[0], eps2[1]
                 eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
                 if guidance_rescale > 0.0:
                     eps = rescale_noise_cfg(eps, eps_text, guidance_rescale)
+            else:
+                if do_cfg:
+                    lat_in = jnp.concatenate([lat_in, lat_in], axis=0)
+                down_res, mid_res = cnet(
+                    lat_in, t, context, ctrl, conditioning_scale,
+                    channels_last=True,
+                )
+                eps = sdr_unet(
+                    lat_in, t, context,
+                    down_block_additional_residuals=down_res,
+                    mid_block_additional_residual=mid_res,
+                    channels_last=True,
+                )
+                if do_cfg:
+                    eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
+                    eps = eps_uncond + guidance_scale * (
+                        eps_text - eps_uncond
+                    )
+                    if guidance_rescale > 0.0:
+                        eps = rescale_noise_cfg(
+                            eps, eps_text, guidance_rescale
+                        )
 
             a_t = acp[t]
             x0 = (lat - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
@@ -234,6 +269,7 @@ def upconvert_sdr_to_hdrtv(
     qmax: float = 99.0,
     prompt_embeds: Optional[Array] = None,
     negative_prompt_embeds: Optional[Array] = None,
+    low_memory: bool = False,
 ):
     """SDR→HDRTV: condition the SDR branch on the input frame, synthesize the
     gain map jointly, return (sdr01, gm01, hdr) numpy arrays (BT.2020-ready;
@@ -259,6 +295,7 @@ def upconvert_sdr_to_hdrtv(
         guidance_scale=guidance_scale,
         prompt_embeds=prompt_embeds,
         negative_prompt_embeds=negative_prompt_embeds,
+        low_memory=low_memory,
     )
     # Resize the gain map to the input resolution before Eq.(1) — the
     # reference's own batched experiment does the same

@@ -40,6 +40,12 @@ def parse_args():
         "gathers) — the 1024²+ default resolution is where a single "
         "chip's HBM runs out first. 1 = single-chip (default).",
     )
+    p.add_argument(
+        "--low_memory", action="store_true",
+        help="Sequential CFG: run the uncond/cond ControlNet+UNet passes "
+        "one after another instead of a CFG-doubled batch — roughly "
+        "halves peak activation HBM (gmdx/pipelines/dual.py low_memory).",
+    )
     return p.parse_args()
 
 
@@ -118,6 +124,7 @@ def main():
             guidance_scale=args.guidance_scale,
             conditioning_scale=args.conditioning_scale,
             qmax=args.qmax,
+            low_memory=args.low_memory,
         )
         save_image(os.path.join(args.output_dir, f"sdr_{name}.png"), sdr_out[0])
         save_image(os.path.join(args.output_dir, f"gm_{name}.png"), gm_out[0])

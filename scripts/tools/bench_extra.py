@@ -363,11 +363,16 @@ def config5a() -> dict:
         "unit": "images/sec/chip",
     }
     best = None
-    for batch in (1, 2, 4):
+    # (batch, low_memory): batch 4 OOMs with the CFG-doubled UNet batch
+    # (18.84 G vs 15.75 G HBM, round-4 note); low_memory sequential CFG
+    # (gmdx/pipelines/dual.py) halves peak activations so 4 and 8 fit.
+    for batch, lowmem in ((1, 0), (2, 0), (4, 0), (4, 1), (8, 1)):
+        tag = f"batch{batch}" + ("_lowmem" if lowmem else "")
         env = dict(os.environ)
         env.update(
             GMDX_BENCH_RES="1024", GMDX_BENCH_BATCH=str(batch),
             GMDX_BENCH_REPEATS="3", GMDX_BENCH_KERNEL_PSNR="0",
+            GMDX_BENCH_LOWMEM=str(lowmem),
         )
         try:
             proc = subprocess.run(
@@ -382,18 +387,18 @@ def config5a() -> dict:
                 # batch 4 OOMs single-chip at 1024^2 (BENCH_extra 5a note);
                 # record the failure instead of crashing the whole sweep.
                 tail = (proc.stderr or proc.stdout)[-400:]
-                out[f"batch{batch}"] = (
+                out[tag] = (
                     "OOM" if "RESOURCE_EXHAUSTED" in tail else
                     f"failed (rc={proc.returncode})"
                 )
                 continue
             r = json.loads(lines[-1])
         except (subprocess.TimeoutExpired, json.JSONDecodeError) as e:
-            out[f"batch{batch}"] = f"failed ({type(e).__name__})"
+            out[tag] = f"failed ({type(e).__name__})"
             continue
-        out[f"batch{batch}"] = r["value"]
+        out[tag] = r["value"]
         # throughput is img/s; a frame completes every 1/value seconds
-        out[f"batch{batch}_sec_per_batch"] = (
+        out[f"{tag}_sec_per_batch"] = (
             round(batch / r["value"], 2) if r["value"] else None
         )
         if r["value"] and (best is None or r["value"] > best):

@@ -178,6 +178,31 @@ class TestControlNetPipeline:
         )
         assert not np.allclose(np.asarray(a), np.asarray(b))
 
+    def test_low_memory_matches_batched_cfg(self, pipe_setup):
+        """Sequential CFG through the ControlNet step body must match the
+        CFG-doubled batch (same math, different batching) — the regression
+        that shipped low_memory on dual.py but broke the ControlNet
+        override's signature."""
+        pipe, params = pipe_setup
+        p = dict(params)
+        p["controlnet"] = jax.tree.map(
+            lambda a: a + 0.05 * jax.random.normal(jax.random.key(5), a.shape),
+            params["controlnet"],
+        )
+        ctrl = jax.random.uniform(jax.random.key(13), (1, 3, 32, 32))
+        common = dict(
+            control_image=ctrl, key=jax.random.key(0), height=32, width=32,
+            num_inference_steps=2, output_type="latent", guidance_scale=6.0,
+        )
+        a, a_gm = pipe(p, "a scene", **common)
+        b, b_gm = pipe(p, "a scene", low_memory=True, **common)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(a_gm), np.asarray(b_gm), rtol=0, atol=2e-5
+        )
+
     def test_no_control_falls_back_to_dual(self, pipe_setup):
         pipe, params = pipe_setup
         out = pipe(
