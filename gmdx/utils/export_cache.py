@@ -91,7 +91,13 @@ def _full_key(key: str, args, kwargs) -> str:
         jax.devices()[0].device_kind,
         repr(sorted(
             (k, v) for k, v in os.environ.items() if k.startswith("GMDX_")
-            and k not in ("GMDX_COMPILE_CACHE", "GMDX_EXPORT_CACHE")
+            # Cache-STRATEGY vars don't change the traced program; keeping
+            # them out of the key lets runs with different tier settings
+            # share artifacts (r5: flipping GMDX_EXE_CACHE forked the
+            # .jaxexp set and forced a 545 s re-trace).
+            and k not in (
+                "GMDX_COMPILE_CACHE", "GMDX_EXPORT_CACHE", "GMDX_EXE_CACHE",
+            )
         )),
         _source_digest(),
         _args_digest(args, kwargs),
@@ -130,13 +136,16 @@ def cached_export(
 
     path = os.path.join(cdir, f"{key}-{_full_key(key, args, kwargs)}.jaxexp")
     call = None
-    # When the exe tier will hit anyway, the StableHLO deserialize below is
-    # dead work (the loaded executable never consults it) — and at dual-UNet
-    # scale it is tens of seconds of flatbuffer parsing (warmup breakdown,
-    # BENCHNOTES r5). Probe the exe artifact first and skip the .jaxexp.
+    # Exe tier is OPT-IN (GMDX_EXE_CACHE=1): on the tunneled backend a
+    # deserialized executable pays its server-side program ship/load at
+    # FIRST DISPATCH — measured 183 s at dual-UNet scale, vs ~19 s to
+    # compile the deserialized export against a warm XLA cache whose
+    # first dispatch is then instant. Warm-to-first-result: exe tier
+    # 216 s, jaxexp+XLA-cache 53 s (BENCHNOTES r5 warmup breakdown —
+    # this was VERDICT r4's unexplained 184 s warmup regression).
     if (
         jax.default_backend() == "tpu"
-        and os.environ.get("GMDX_EXE_CACHE", "1") == "1"
+        and os.environ.get("GMDX_EXE_CACHE", "0") == "1"
     ):
         exe_path = path[: -len(".jaxexp")] + ".jaxexe"
         if os.path.exists(exe_path):
@@ -184,18 +193,22 @@ def cached_export(
             pass
         call = exp.call
 
-    # Executable tier (TPU): the XLA persistent cache removes compile cost
-    # only when ITS key matches — and that key bakes in compile options
-    # (device assignment, flags) that shift between sessions/hosts on the
-    # tunneled backend, which is how the round-2 driver paid a 590 s
-    # compile against a warm cache (VERDICT.md round-2 item 4, weak #5).
-    # So AOT-compile here and serialize the *executable* keyed by OUR
-    # stable key (source + avals + backend); a warm run deserializes and
-    # never calls the compiler. Any load failure (jaxlib/runtime change)
-    # falls back to a fresh compile and rewrites the artifact.
+    # Executable tier (TPU, OPT-IN via GMDX_EXE_CACHE=1): AOT-compile and
+    # serialize the *executable* keyed by OUR stable key, so a warm run
+    # never calls the compiler even when the XLA cache's key (which bakes
+    # in compile options/device assignment) shifts between sessions/hosts
+    # — that instability cost the round-2 driver a 590 s compile against
+    # a warm cache. Default OFF since r5: on the tunneled backend the
+    # deserialized executable's first dispatch re-ships the program
+    # server-side (183 s measured) — slower end-to-end than compiling the
+    # deserialized export against the XLA cache (see the probe above).
+    # Worst case with the tier off and a cold/mismatched XLA cache is a
+    # fresh ~200 s compile — the same order as the tier's guaranteed
+    # first-dispatch ship, so opting out only loses when compiles are
+    # cold AND the exe artifact is warm.
     if (
         jax.default_backend() == "tpu"
-        and os.environ.get("GMDX_EXE_CACHE", "1") == "1"
+        and os.environ.get("GMDX_EXE_CACHE", "0") == "1"
     ):
         exe_path = path[: -len(".jaxexp")] + ".jaxexe"
         # (A hit would have returned before the .jaxexp deserialize above;
