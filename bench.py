@@ -103,9 +103,13 @@ def build(key_suffix: str = "", batch: int = BATCH):
             num_inference_steps=STEPS, guidance_scale=7.5,
             low_memory=LOWMEM,
         )
-        # one batched decode instead of two sequential calls
+        # one batched decode instead of two sequential calls; under
+        # low_memory decode 2 images per lax.map step — at 1024^2 the
+        # BATCHED decode (not the denoise) is what OOMs batch >= 4
+        # (~1 GB/image/layer of level-0 decoder activations).
         both = pipe.decode_latents(
-            params, jnp.concatenate([sdr_lat, gm_lat], axis=0)
+            params, jnp.concatenate([sdr_lat, gm_lat], axis=0),
+            chunk=2 if LOWMEM else None,
         )
         sdr, gm = jnp.split(both, 2, axis=0)
         return sdr, gm

@@ -330,7 +330,8 @@ class StableDiffusionDualUNetPipeline(StableDiffusionGMPipeline):
         else:
             both = np.asarray(
                 self.decode_latents(
-                    params, jnp.concatenate([sdr_lat, gm_lat], axis=0)
+                    params, jnp.concatenate([sdr_lat, gm_lat], axis=0),
+                    chunk=1 if low_memory else None,
                 )
             )
             both = np.transpose(

@@ -167,13 +167,34 @@ class StableDiffusionGMPipeline:
         )
         return post.sample(key) * self.vae.config.scaling_factor
 
-    def decode_latents(self, params, latents: Array) -> Array:
-        """Latents -> image in [-1, 1] (B, 3, H, W)."""
-        return self.vae.apply(
-            {"params": params["vae"]},
-            latents / self.vae.config.scaling_factor,
-            method=self.vae.decode,
-        )
+    def decode_latents(
+        self, params, latents: Array, chunk: Optional[int] = None
+    ) -> Array:
+        """Latents -> image in [-1, 1] (B, 3, H, W).
+
+        ``chunk`` decodes ``chunk`` images at a time via ``lax.map`` instead
+        of one batched pass: at 1024² the decoder's level-0 activations are
+        ~1 GB/image/layer, and the batched decode — not the denoise — is
+        what OOMs batch ≥4 on a 16 GB chip (BENCHNOTES r5). Requires
+        ``B % chunk == 0``."""
+
+        def dec(z):
+            return self.vae.apply(
+                {"params": params["vae"]},
+                z / self.vae.config.scaling_factor,
+                method=self.vae.decode,
+            )
+
+        b = latents.shape[0]
+        if chunk is None or b <= chunk:
+            return dec(latents)
+        if b % chunk != 0:
+            raise ValueError(
+                f"decode chunk {chunk} must divide the batch {b}"
+            )
+        groups = latents.reshape((b // chunk, chunk) + latents.shape[1:])
+        out = jax.lax.map(dec, groups)
+        return out.reshape((b,) + out.shape[2:])
 
     # -- sampling ----------------------------------------------------------
     def prepare_latents(
@@ -678,7 +699,9 @@ class StableDiffusionGMPipeline:
             gm_latents = out
         if output_type == "latent":
             return gm_latents
-        img = self.decode_latents(params, gm_latents)
+        img = self.decode_latents(
+            params, gm_latents, chunk=1 if low_memory else None
+        )
         img = np.asarray(img)
         img = np.clip(img / 2.0 + 0.5, 0.0, 1.0)
         img = np.transpose(img, (0, 2, 3, 1))

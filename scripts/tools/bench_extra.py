@@ -366,7 +366,23 @@ def config5a() -> dict:
     # (batch, low_memory): batch 4 OOMs with the CFG-doubled UNet batch
     # (18.84 G vs 15.75 G HBM, round-4 note); low_memory sequential CFG
     # (gmdx/pipelines/dual.py) halves peak activations so 4 and 8 fit.
-    for batch, lowmem in ((1, 0), (2, 0), (4, 0), (4, 1), (8, 1)):
+    # Each 1024^2 variant costs ~20 min of single-core XLA compile when
+    # cold; GMDX_5A_SWEEP="4:1,8:1" restricts the sweep (results merge
+    # into the existing 5a entry instead of replacing it).
+    sweep = tuple(
+        tuple(int(x) for x in pair.split(":"))
+        for pair in os.environ.get(
+            "GMDX_5A_SWEEP", "1:0,2:0,4:0,4:1,8:1"
+        ).split(",")
+    )
+    prior = {}
+    if os.path.exists(OUT_PATH):
+        try:
+            with open(OUT_PATH) as f:
+                prior = json.load(f).get("5a", {})
+        except (OSError, json.JSONDecodeError):
+            pass
+    for batch, lowmem in sweep:
         tag = f"batch{batch}" + ("_lowmem" if lowmem else "")
         env = dict(os.environ)
         env.update(
@@ -403,6 +419,14 @@ def config5a() -> dict:
         )
         if r["value"] and (best is None or r["value"] > best):
             best = r["value"]
+    # Merge rows a restricted sweep did not re-measure (keyed rows only —
+    # value/sec_per_frame are recomputed below over the merged set).
+    for k, v in prior.items():
+        if k not in out and k.startswith("batch"):
+            out[k] = v
+            is_throughput = isinstance(v, (int, float)) and "_sec_" not in k
+            if is_throughput and (best is None or v > best):
+                best = v
     # headline = the best SUCCESSFUL batch's throughput (the serving max)
     out["value"] = best
     out["sec_per_frame"] = round(1 / best, 2) if best else None

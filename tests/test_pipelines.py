@@ -303,6 +303,20 @@ class TestDualPipeline:
             np.asarray(b), np.asarray(a), rtol=3e-4, atol=3e-5
         )
 
+    def test_chunked_decode_matches_batched(self, components):
+        """decode_latents(chunk=N) (the low_memory decode path — at 1024²
+        the BATCHED decode is what OOMs, BENCHNOTES r5) must match the one
+        batched decode per image."""
+        unet8, unet4, vae, text, tok, params = components
+        pipe = StableDiffusionGMPipeline(unet8, vae, text, tok, PNDMScheduler())
+        lat = jax.random.normal(jax.random.key(3), (4, 4, 4, 4))
+        full = np.asarray(pipe.decode_latents(params, lat))
+        for chunk in (1, 2):
+            got = np.asarray(pipe.decode_latents(params, lat, chunk=chunk))
+            np.testing.assert_allclose(got, full, rtol=1e-5, atol=1e-6)
+        with pytest.raises(ValueError):
+            pipe.decode_latents(params, lat, chunk=3)
+
     def test_gm_branch_is_conditional_only(self, components):
         """With a probe GM UNet sensitive to context batch size, the GM branch
         must see only the conditional embeddings (batch 1, not 2)."""
