@@ -175,8 +175,22 @@ def make_gen_step(
         miss = batch["miss_pixel_values"]
         sdr01 = (miss + 1.0) / 2.0
 
-        def losses(trainables):
-            params = effective_vae_params(config, frozen["vae"], trainables)
+        # One forward, shared by the loss AND the adaptive-weight probes.
+        # ``kernel`` is threaded as a SEPARATE argument that replaces the
+        # conv_out base kernel, so one jax.vjp over (trainables, kernel)
+        # yields both the short probe pullbacks (cotangents on perc/adv,
+        # gradient read at ``kernel`` only — XLA DCE prunes the decoder-
+        # body backward for those calls) and the full parameter gradient.
+        # The previous shape — a second losses() closure inside jax.vjp —
+        # re-traced encode+decode+VGG+disc, and XLA did NOT CSE the two
+        # numerically identical forwards (profiled: every decoder conv
+        # appeared twice, jvp() next to jvp(jvp()), BENCHNOTES r5).
+        def losses(trainables, kernel):
+            t = dict(trainables)
+            co = dict(t["conv_out"])
+            co["kernel"] = kernel
+            t["conv_out"] = co
+            params = effective_vae_params(config, frozen["vae"], t)
             gm = gm_forward(
                 config, vae, params, miss, key, eps=batch.get("encode_eps")
             )
@@ -192,47 +206,40 @@ def make_gen_step(
             adv = -jnp.mean(disc_apply(state.disc_params, state.disc_vars, tmo))
             return recon, perc, adv
 
-        def total_loss(trainables):
-            recon, perc, adv = losses(trainables)
-
-            # Adaptive weight: grad-norm ratio at the conv_out kernel
-            # (reference :1165-1174). One jax.vjp shares a single forward
-            # between the two backward probes (two separate jax.grad
-            # closures would trace two more full forwards and rely on XLA
-            # CSE to merge them); the weight itself is a constant
-            # (stop_grad) in the loss.
-            def perc_adv_of_kernel(kernel):
-                t = dict(trainables)
-                co = dict(t["conv_out"])
-                co["kernel"] = kernel
-                t["conv_out"] = co
-                _, p, a = losses(t)
-                return p, a
-
-            _, kernel_vjp = jax.vjp(
-                perc_adv_of_kernel, trainables["conv_out"]["kernel"]
-            )
-            one, zero = jnp.ones(()), jnp.zeros(())
-
-            def grad_norm(cotangents):
-                (g,) = kernel_vjp(cotangents)
-                return jnp.linalg.norm(jax.lax.stop_gradient(g))
-
-            adaptive = grad_norm((one, zero)) / jnp.maximum(
-                grad_norm((zero, one)), 1e-8
-            )
-            adaptive = jnp.minimum(adaptive, config.adaptive_weight_max)
-            loss = recon + perc + adaptive * adv
-            return loss, {
-                "recon": recon,
-                "perceptual": perc,
-                "adversarial": adv,
-                "adaptive_weight": adaptive,
-            }
-
-        (loss, parts), grads = jax.value_and_grad(total_loss, has_aux=True)(
-            state.trainables
+        (recon, perc, adv), pull = jax.vjp(
+            losses, state.trainables, state.trainables["conv_out"]["kernel"]
         )
+        one, zero = jnp.ones(()), jnp.zeros(())
+
+        # Adaptive weight: grad-norm ratio at the conv_out kernel
+        # (reference :1165-1174); a constant (stop_grad) in the loss.
+        def kernel_grad_norm(cotangents):
+            _, g = pull(cotangents)
+            return jnp.linalg.norm(jax.lax.stop_gradient(g))
+
+        adaptive = kernel_grad_norm((zero, one, zero)) / jnp.maximum(
+            kernel_grad_norm((zero, zero, one)), 1e-8
+        )
+        adaptive = jnp.minimum(adaptive, config.adaptive_weight_max)
+        loss = recon + perc + adaptive * adv
+        parts = {
+            "recon": recon,
+            "perceptual": perc,
+            "adversarial": adv,
+            "adaptive_weight": adaptive,
+        }
+
+        # Full gradient of recon + perc + adaptive*adv in ONE pullback.
+        # Inside losses() the trainables' own conv_out.kernel is shadowed
+        # by the separate ``kernel`` argument, so its cotangent arrives in
+        # g_kernel and trainable-tree slot is zeros — add them back.
+        g_train, g_kernel = pull(
+            (one, one, jax.lax.stop_gradient(adaptive))
+        )
+        co_grads = dict(g_train["conv_out"])
+        co_grads["kernel"] = co_grads["kernel"] + g_kernel
+        grads = dict(g_train)
+        grads["conv_out"] = co_grads
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.trainables
         )
