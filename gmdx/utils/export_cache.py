@@ -81,6 +81,11 @@ def _args_digest(args: Any, kwargs: Any) -> str:
 
 
 def _full_key(key: str, args, kwargs) -> str:
+    """Two concatenated 16-hex halves: avals digest (WHICH program variant
+    — batch size, shapes, dtypes) then source/env/backend digest (WHICH
+    REVISION of it).  ``_prune_stale`` uses the split to drop superseded
+    revisions of the same variant while leaving sibling variants (other
+    batch sizes under the same label) alone."""
     import jax
 
     h = hashlib.sha256()
@@ -100,11 +105,11 @@ def _full_key(key: str, args, kwargs) -> str:
             )
         )),
         _source_digest(),
-        _args_digest(args, kwargs),
     ):
         h.update(str(part).encode())
         h.update(b"\x00")
-    return h.hexdigest()[:32]
+    avals = hashlib.sha256(_args_digest(args, kwargs).encode())
+    return avals.hexdigest()[:16] + h.hexdigest()[:16]
 
 
 def cached_export(
@@ -220,15 +225,18 @@ def cached_export(
 
 
 def _prune_stale(cdir: str, key: str, current_basename: str) -> None:
-    """Delete superseded artifacts for the same label.
+    """Delete superseded REVISIONS of the same program variant.
 
     Keys digest the gmdx source tree, so every source edit strands the
     previous artifact pair unreachable forever — serialized dual-UNet
     executables are ~650 MB each and the dir grew to ~10 GB of dead files
-    over four rounds. When a NEW artifact for ``key`` is written, drop
-    other ``{key}-<digest>.*`` files (the exact ``{key}-`` prefix; labels
-    are distinct words, and longer labels sharing the prefix are protected
-    by requiring the remainder to be a bare 32-hex digest)."""
+    over four rounds. The 32-hex digest is avals[16] + source/env[16]
+    (``_full_key``): when a NEW artifact for ``key`` is written, drop
+    ``{key}-<digest>.*`` files whose avals half MATCHES (same variant)
+    but whose revision half differs — sibling variants (other batch
+    sizes/shapes under one label, e.g. the test suite's two-shape case)
+    stay live. Longer labels sharing the prefix are protected by
+    requiring the remainder to be a bare 32-hex digest."""
     import re
 
     current_digest = current_basename[len(key) + 1:].split(".", 1)[0]
@@ -236,7 +244,11 @@ def _prune_stale(cdir: str, key: str, current_basename: str) -> None:
     try:
         for name in os.listdir(cdir):
             m = pat.fullmatch(name)
-            if m and m.group(1) != current_digest:
+            if (
+                m
+                and m.group(1) != current_digest
+                and m.group(1)[:16] == current_digest[:16]
+            ):
                 try:
                     os.remove(os.path.join(cdir, name))
                 except OSError:

@@ -103,11 +103,15 @@ class TestExportCache:
         cached_export(  # different shapes -> second artifact
             self._fn, jnp.ones((5, 4)), y, key="t", cache_dir=str(tmp_path)
         )
-        assert len(list(tmp_path.glob("t-*.jaxexp"))) == 2
-        # GMDX_* env selects kernels at trace time -> must change the key
+        before = {p.name for p in tmp_path.glob("t-*.jaxexp")}
+        assert len(before) == 2  # sibling shape variants coexist (not pruned)
+        # GMDX_* env selects kernels at trace time -> must change the key.
+        # The stale same-shape artifact is PRUNED (superseded revision,
+        # _prune_stale), so the count stays 2 but the name set changes.
         monkeypatch.setenv("GMDX_WINOGRAD", "0")
         cached_export(self._fn, x, y, key="t", cache_dir=str(tmp_path))
-        assert len(list(tmp_path.glob("t-*.jaxexp"))) == 3
+        after = {p.name for p in tmp_path.glob("t-*.jaxexp")}
+        assert len(after) == 2 and after != before
 
     def test_corrupt_artifact_recovers(self, tmp_path):
         from gmdx.utils import cached_export
