@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--steps-during-save", type=int, default=0,
                     help="dispatch N dummy device matmuls while the async "
                     "write streams, to show the loop keeps running")
+    ap.add_argument("--with-ema", action="store_true",
+                    help="include an EMA shadow in the state (a third "
+                    "param-sized tree; at width 1.0 params+opt+EMA+save "
+                    "machinery exceed 16 GB HBM — full-width runs offload "
+                    "EMA to host, reference --offload_ema)")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +69,9 @@ def main():
         jnp.zeros((1, 77, 768)),
     )["params"]
     opt_state = optax.adamw(1e-4).init(params)
-    state = {"params": params, "opt_state": opt_state, "ema": params}
+    state = {"params": params, "opt_state": opt_state}
+    if args.with_ema:
+        state["ema"] = jax.tree.map(jnp.copy, params)
     nbytes = sum(
         x.nbytes for x in jax.tree.leaves(state) if hasattr(x, "nbytes")
     )
@@ -90,6 +97,13 @@ def main():
     abstract = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
     )
+    # Free the live copy before restoring — at full width the state is
+    # ~13 GB and two copies exceed HBM (measured OOM at device_put).
+    ref = np.asarray(jax.tree.leaves(state)[0])
+    jax.tree.map(
+        lambda x: x.delete() if hasattr(x, "delete") else None, state
+    )
+    del state, params, opt_state
     t0 = time.perf_counter()
     restored = restore_state(mgr, 1, abstract)
     jax.block_until_ready(restored)
@@ -97,8 +111,7 @@ def main():
     print(f"restore: {t_restore:.1f} s ({mb / t_restore:.1f} MB/s)",
           flush=True)
     leaf = jax.tree.leaves(restored)[0]
-    ref = jax.tree.leaves(state)[0]
-    assert np.allclose(np.asarray(leaf), np.asarray(ref))
+    assert np.allclose(np.asarray(leaf), ref)
     print("restore round-trip verified", flush=True)
 
 
